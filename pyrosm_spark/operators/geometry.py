@@ -1,0 +1,185 @@
+"""Distributed geometry assembly: the node->way coordinate join and the
+WKB constructors.
+
+This module is the Spark-native replacement for pyrosm's geometry
+engine (``geometry.pyx``, ``node_lookup.pyx``): the per-way node-ref
+loop becomes one shuffle join + one aggregation (J1 in SURVEY.md §2.3),
+and segment lengths stay entirely in whole-stage codegen (G10).
+Only final WKB serialization touches Python, as Arrow-batched pandas
+UDFs over numpy kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyrosm_spark.functions import geometry_np as G
+from pyrosm_spark.functions.distance import segment_length_m
+
+PTS_FIELD = "pts"  # array<struct<pos:int, ref:long, lon:double, lat:double>>
+
+
+def way_coordinates(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """J1 — the workhorse node->way coordinate join.
+
+    Reference semantics (``geometry.pyx:295-342``, ``node_lookup.pyx:52-66``):
+    each way's node refs resolve to (lon, lat) *in ref order*; refs
+    missing from the node table are dropped while preserving the
+    subsequence order. Missing-node completion (J5, the reference's
+    second file pass, ``pbfreader.pyx:609-647``) is a non-issue here:
+    we always join against the full node table.
+
+    Spark shape: posexplode(refs) -> shuffle hash join on node id ->
+    collect_list(struct(pos, ...)) -> array_sort. Two shuffles total
+    (join key, then way id); both are pure equi-shuffles AQE can size.
+    Returns ``ways`` with an added ``pts`` array column (ways with zero
+    resolvable refs keep an empty array).
+    """
+    refs = ways.select(F.col("id").alias("way_id"),
+                       F.posexplode("refs").alias("pos", "ref"))
+    coords = nodes.select(F.col("id").alias("ref"),
+                          F.col("lon").alias("_lon"),
+                          F.col("lat").alias("_lat"))
+    joined = refs.join(coords, "ref", "inner")
+    pts = (
+        joined.groupBy("way_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(
+                    F.col("pos"),
+                    F.col("ref"),
+                    F.col("_lon").alias("lon"),
+                    F.col("_lat").alias("lat"),
+                ))
+            ).alias(PTS_FIELD)
+        )
+    )
+    return (
+        ways.join(pts, ways["id"] == pts["way_id"], "left")
+        .drop("way_id")
+        .withColumn(PTS_FIELD, F.coalesce(
+            F.col(PTS_FIELD),
+            F.array().cast(pts.schema[PTS_FIELD].dataType),
+        ))
+    )
+
+
+# --------------------------------------------------------------------------
+# Native-SQL helpers over the pts array
+# --------------------------------------------------------------------------
+
+def pts_size(pts: Column = None) -> Column:
+    return F.size(pts if pts is not None else F.col(PTS_FIELD))
+
+
+def way_is_closed(pts: Column = None) -> Column:
+    """Closed ring: first resolved ref == last resolved ref and >= 4 pts
+    (geometry.pyx:508: ``nodes[0] == nodes[-1]``; ring needs 4 coords)."""
+    p = pts if pts is not None else F.col(PTS_FIELD)
+    return (F.size(p) >= 4) & (
+        F.element_at(p, 1)["ref"] == F.element_at(p, -1)["ref"]
+    )
+
+
+def segment_lengths_m(pts: Column = None) -> Column:
+    """Per-segment haversine lengths (meters, round 3) as an array —
+    pure SQL, stays in codegen (G10, distance.py:77-90)."""
+    p = pts if pts is not None else F.col(PTS_FIELD)
+    idx = F.sequence(F.lit(1), F.size(p) - 1)  # element_at is 1-based
+    return F.when(F.size(p) >= 2, F.transform(
+        idx,
+        lambda i: segment_length_m(
+            F.element_at(p, i)["lat"], F.element_at(p, i)["lon"],
+            F.element_at(p, i + 1)["lat"], F.element_at(p, i + 1)["lon"],
+        ),
+    )).otherwise(F.array().cast("array<double>"))
+
+
+def way_length_m(pts: Column = None) -> Column:
+    """Way length = sum of segment lengths, rounded to 0 decimals
+    (distance.py:77-78 ``.sum().round(0)``)."""
+    segs = segment_lengths_m(pts)
+    return F.round(F.aggregate(segs, F.lit(0.0), lambda a, x: a + x), 0)
+
+
+def closed_way_is_polygon(tags: Column) -> Column:
+    """G4 — closed-way area decision (geometry.pyx:381-389, 496-503):
+    explicit area tag wins; otherwise polygon unless THIS way carries a
+    linear-feature tag (highway / barrier / route). Pure Column expr."""
+    area = tags["area"]
+    has_linear = (
+        tags["highway"].isNotNull()
+        | tags["barrier"].isNotNull()
+        | tags["route"].isNotNull()
+    )
+    return (
+        F.when(area == "yes", F.lit(True))
+        .when(area == "no", F.lit(False))
+        .otherwise(~F.coalesce(has_linear, F.lit(False)))
+    )
+
+
+def bbox_struct(pts: Column = None) -> Column:
+    """Geometry bbox as a struct column — the pruning companion of the
+    WKB geometry (SURVEY.md §1.2: 'WKB + bbox struct columns')."""
+    p = pts if pts is not None else F.col(PTS_FIELD)
+    lons = F.transform(p, lambda s: s["lon"])
+    lats = F.transform(p, lambda s: s["lat"])
+    return F.struct(
+        F.array_min(lons).alias("xmin"),
+        F.array_min(lats).alias("ymin"),
+        F.array_max(lons).alias("xmax"),
+        F.array_max(lats).alias("ymax"),
+    )
+
+
+# --------------------------------------------------------------------------
+# WKB constructors (Arrow-batched pandas UDFs over numpy kernels)
+# --------------------------------------------------------------------------
+
+def _pts_to_np(pts_row) -> np.ndarray:
+    if pts_row is None or len(pts_row) == 0:
+        return np.empty((0, 2), dtype=np.float64)
+    return np.array([[p["lon"], p["lat"]] for p in pts_row], dtype=np.float64)
+
+
+@F.pandas_udf(T.BinaryType())
+def way_geometry_wkb(pts: pd.Series, is_polygon: pd.Series) -> pd.Series:
+    """Way geometry: Polygon for closed areas, LineString otherwise;
+    None for <2 points (dropped downstream) — G2/G3
+    (geometry.pyx:404-620, vectorized there with shapely, here numpy)."""
+    out = []
+    for row, poly in zip(pts, is_polygon):
+        coords = _pts_to_np(row)
+        if len(coords) < 2:
+            out.append(None)
+            continue
+        if poly and len(coords) >= 4 and (coords[0] == coords[-1]).all():
+            out.append(G.wkb_polygon([G.orient_ring(coords, ccw=True)]))
+        else:
+            out.append(G.wkb_linestring(coords))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def point_geometry_wkb(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Node geometry (G1)."""
+    return pd.Series(
+        [G.wkb_point(x, y) for x, y in zip(lon.to_numpy(), lat.to_numpy())]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def segment_geometry_wkb(
+    lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series
+) -> pd.Series:
+    """Two-point segment LineString (network nodes=True path, W2)."""
+    out = []
+    for a, b, c, d in zip(lon1.to_numpy(), lat1.to_numpy(),
+                          lon2.to_numpy(), lat2.to_numpy()):
+        out.append(G.wkb_linestring(np.array([[a, b], [c, d]])))
+    return pd.Series(out)

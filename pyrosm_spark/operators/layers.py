@@ -1,0 +1,192 @@
+"""Feature-layer queries: buildings / POIs / landuse / natural /
+boundaries / custom criteria.
+
+Reference entry points: ``buildings.py`` / ``pois.py`` / ``landuse.py``
+/ ``natural.py`` / ``boundary.py`` / ``user_defined.py`` — all funnel
+into the same (filter, assemble, union) lifecycle (SURVEY.md §3.1).
+Spark shape per layer:
+
+    relations ⟵filter           ways ⟵filter        nodes ⟵filter
+        │ explode members (J3)      │ anti-join member ids (J4)
+        │ member-way coord join     │ coord join (J1) + G4 typing
+        │ multipolygon UDF (G6)     │ WKB UDF (G2/G3)
+        └──────────────┬────────────┴──────── union ──── nodes (G1)
+                       └ unionByName(allowMissingColumns=True) (U1)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyrosm_spark.functions.filters import (
+    element_filter_column,
+    ensure_filter_key,
+)
+from pyrosm_spark.operators import geometry as geom
+from pyrosm_spark.operators import presets
+from pyrosm_spark.operators.network import ways_in_bbox
+from pyrosm_spark.operators.relations import (
+    assemble_relations,
+    relation_member_ways,
+)
+
+
+def _present_tags(df: DataFrame, tag_cols) -> DataFrame:
+    for k in tag_cols:
+        df = df.withColumn(k.replace(":", "_"), F.col("tags")[k])
+    return df
+
+
+def get_layer(
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    custom_filter=None,
+    filter_type: str = "keep",
+    keep_all: bool = False,
+    include_nodes: bool = True,
+    include_relations: bool = True,
+    bbox: tuple | None = None,
+    complete_relations: bool = False,
+    tag_cols=(),
+) -> DataFrame:
+    """Generic layer query (get_data_by_custom_criteria equivalent,
+    pyrosm.py:1027-1185). Returns a unioned feature DataFrame with
+    ``osm_type`` in {node, way, relation}, WKB ``geometry``, the tags
+    map, and presentation tag columns."""
+    pred = element_filter_column(
+        F.col("tags"), custom_filter, filter_type=filter_type,
+        keep_all=keep_all,
+    )
+
+    kept_ways = ways.filter(pred)
+    parts = []
+
+    # --- relations (multipolygons etc.) --------------------------------
+    member_ids = None
+    if include_relations:
+        kept_rels = relations.filter(pred)
+        member_ids = relation_member_ways(kept_rels).select(
+            F.col("way_id").alias("id")
+        ).distinct()
+        # J6: unless complete_relations, member ways outside the bbox are
+        # excluded from assembly (collect.py:606-623).
+        restriction = None
+        if bbox is not None and not complete_relations:
+            restriction = ways_in_bbox(ways, nodes, bbox).select("id")
+        rel_feats = assemble_relations(
+            kept_rels, ways, nodes, member_way_restriction=restriction
+        )
+        parts.append(rel_feats.drop("version", "changeset", "timestamp",
+                                    "visible"))
+
+    # --- standalone ways -------------------------------------------------
+    if bbox is not None:
+        kept_ways = ways_in_bbox(kept_ways, nodes, bbox)
+    if member_ids is not None:
+        # J4: ways consumed by a kept relation leave the standalone output
+        kept_ways = kept_ways.join(member_ids, "id", "left_anti")
+    w = geom.way_coordinates(kept_ways, nodes)
+    w = w.filter(geom.pts_size() >= 2)
+    w = w.withColumn(
+        "_poly",
+        geom.way_is_closed() & geom.closed_way_is_polygon(F.col("tags")),
+    )
+    w = w.withColumn(
+        "geometry", geom.way_geometry_wkb(F.col(geom.PTS_FIELD), F.col("_poly"))
+    )
+    way_feats = (
+        w.filter(F.col("geometry").isNotNull())
+        .withColumn("osm_type", F.lit("way"))
+        .drop(geom.PTS_FIELD, "refs", "_poly", "version", "changeset",
+              "timestamp", "visible")
+    )
+    parts.append(way_feats)
+
+    # --- node features ----------------------------------------------------
+    if include_nodes:
+        kept_nodes = nodes.filter(pred)
+        if bbox is not None:
+            xmin, ymin, xmax, ymax = bbox
+            kept_nodes = kept_nodes.filter(
+                F.col("lon").between(xmin, xmax)
+                & F.col("lat").between(ymin, ymax)
+            )
+        node_feats = (
+            kept_nodes.withColumn(
+                "geometry",
+                geom.point_geometry_wkb(F.col("lon"), F.col("lat")),
+            )
+            .withColumn("osm_type", F.lit("node"))
+            .drop("version", "changeset", "timestamp", "visible")
+        )
+        parts.append(node_feats)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)  # U1
+    return _present_tags(out, tag_cols)
+
+
+# --------------------------------------------------------------------------
+# Named layers (thin preset wrappers, mirroring the reference modules)
+# --------------------------------------------------------------------------
+
+def get_buildings(nodes, ways, relations, custom_filter=None, bbox=None,
+                  **kw) -> DataFrame:
+    """buildings.py:20-27: default {'building': True}, keep, no node
+    features; a custom filter is OR-extended with the building key."""
+    cf = {"building": True} if custom_filter is None else ensure_filter_key(
+        custom_filter, "building"
+    )
+    return get_layer(nodes, ways, relations, cf, include_nodes=False,
+                     bbox=bbox, tag_cols=presets.BUILDING_TAG_COLS, **kw)
+
+
+def get_pois(nodes, ways, relations, custom_filter=None, bbox=None,
+             **kw) -> DataFrame:
+    """pois.py:20-36: user filter, keep, node features included. The
+    reference's default POI filter is Conf-driven; ours defaults to
+    amenity/shop/tourism presence."""
+    cf = custom_filter or {"amenity": True, "shop": True, "tourism": True}
+    return get_layer(nodes, ways, relations, cf, include_nodes=True,
+                     bbox=bbox, tag_cols=presets.POI_TAG_COLS, **kw)
+
+
+def get_landuse(nodes, ways, relations, custom_filter=None, bbox=None,
+                **kw) -> DataFrame:
+    cf = {"landuse": True} if custom_filter is None else ensure_filter_key(
+        custom_filter, "landuse"
+    )
+    return get_layer(nodes, ways, relations, cf, include_nodes=True,
+                     bbox=bbox, tag_cols=presets.LANDUSE_TAG_COLS, **kw)
+
+
+def get_natural(nodes, ways, relations, custom_filter=None, bbox=None,
+                **kw) -> DataFrame:
+    cf = {"natural": True} if custom_filter is None else ensure_filter_key(
+        custom_filter, "natural"
+    )
+    return get_layer(nodes, ways, relations, cf, include_nodes=True,
+                     bbox=bbox, tag_cols=presets.NATURAL_TAG_COLS, **kw)
+
+
+def get_boundaries(nodes, ways, relations, boundary_type: str = "administrative",
+                   name: str | None = None, custom_filter=None, bbox=None,
+                   **kw) -> DataFrame:
+    """boundary.py:20-85: default {'boundary': [type]} (or True for
+    'all'), keep, no node features, then substring name filter (F10)."""
+    if custom_filter is None:
+        custom_filter = {
+            "boundary": True if boundary_type == "all" else [boundary_type]
+        }
+    cf = ensure_filter_key(custom_filter, "boundary")
+    out = get_layer(nodes, ways, relations, cf, include_nodes=False,
+                    bbox=bbox, tag_cols=presets.BOUNDARY_TAG_COLS, **kw)
+    if name is not None:
+        out = out.filter(
+            F.col("tags")["name"].isNotNull()
+            & F.col("tags")["name"].contains(name)
+        )
+    return out

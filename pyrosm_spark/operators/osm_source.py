@@ -1,0 +1,75 @@
+"""Load the OSM-element-model tables and shared element-level helpers.
+
+The engine's inputs are columnar tables (parquet here, Iceberg on a
+real cluster) with the schemas of SURVEY.md §1: nodes (id, lon, lat,
+tags map, meta), ways (id, refs array<long>, tags, meta), relations
+(id, members array<struct>, tags, meta). The reference parses these
+out of PBF (``pbfreader.pyx``); at 100 TB they are a one-time ingest
+and every query starts from columnar scans with pushdown.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ENGINE_COLUMNS = {
+    "osm_nodes": ["id", "lon", "lat", "tags", "version", "changeset",
+                  "timestamp", "visible"],
+    "osm_ways": ["id", "refs", "tags", "version", "timestamp", "visible"],
+    "osm_relations": ["id", "members", "tags", "version", "changeset",
+                      "timestamp", "visible"],
+}
+
+
+def load_osm(spark: SparkSession, data_dir: str, visible_only: bool = True):
+    """Read (nodes, ways, relations) with engine columns only.
+
+    Selecting the engine column set up front lets Catalyst prune the
+    materialized oracle tag columns out of every scan (``ReadSchema``
+    stays minimal). ``visible_only`` drops deleted elements — the
+    history-file semantics of ``pbfreader.pyx:528-542`` (F11).
+    """
+    out = []
+    for name in ("osm_nodes", "osm_ways", "osm_relations"):
+        df = spark.read.parquet(os.path.join(data_dir, f"{name}.parquet"))
+        df = df.select(*ENGINE_COLUMNS[name])
+        if visible_only:
+            df = df.filter(F.col("visible"))
+        out.append(df)
+    return tuple(out)
+
+
+def at_timestamp(df: DataFrame, ts: int) -> DataFrame:
+    """History time filter: drop versions newer than ``ts``
+    (pbfreader.pyx:181-191 F11)."""
+    return df.filter(F.col("timestamp") <= F.lit(ts))
+
+
+def latest_version(df: DataFrame, order_cols=("version", "timestamp")) -> DataFrame:
+    """Per-id latest row with per-column last-non-null semantics.
+
+    Parity target: ``data_filter.pyx:340-343`` (pandas
+    ``groupby("id").last()`` = last non-null per column over
+    version-ascending order; documented ``pyrosm.py:206-213``).
+    Spark shape: ``max_by(struct(order, col), order)`` per column over
+    rows where the column is non-null — expressed as
+    ``last(col, ignorenulls=True)`` over an ordered window, then one
+    row per id.
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(c).asc() for c in order_cols]
+    w = (
+        W.partitionBy("id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    value_cols = [c for c in df.columns if c != "id"]
+    picked = [
+        F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols
+    ]
+    ranked = df.select("id", *picked).dropDuplicates(["id"])
+    return ranked

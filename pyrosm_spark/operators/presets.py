@@ -1,0 +1,84 @@
+"""Layer presets: network filters and per-layer tag-column lists.
+
+Network filter dicts reproduce the OSMnx-derived presets of
+``config/osm_filters.py:19-137`` (driving/walking/cycling exclude
+filters over highway ways). Tag-column lists are the working subset of
+``config/default_tags.py`` that the synthetic world exercises — the
+engine keeps the full tags map on every row, so widening these lists
+is presentation-only (SURVEY.md §1.3: schema-on-read over a map).
+"""
+
+from __future__ import annotations
+
+# oneway values marking a directed edge (config/__init__.py:102)
+ONEWAY_VALUES = ["yes", "true", "1", "-1", "T", "F"]
+# values meaning "against the digitized direction" (graph_export.pyx:292)
+ONEWAY_AGAINST = ["-1", "T"]
+
+_DRIVE_EXCLUDE_HIGHWAY = [
+    "cycleway", "footway", "path", "pedestrian", "steps", "track",
+    "corridor", "elevator", "escalator", "proposed", "construction",
+    "bridleway", "abandoned", "platform", "raceway",
+]
+_WALK_EXCLUDE_HIGHWAY = [
+    "cycleway", "motor", "proposed", "construction", "abandoned",
+    "platform", "raceway", "motorway", "motorway_link",
+]
+_CYCLE_EXCLUDE_HIGHWAY = [
+    "footway", "steps", "corridor", "elevator", "escalator", "motor",
+    "proposed", "construction", "abandoned", "platform", "raceway",
+    "motorway", "motorway_link",
+]
+
+
+def network_filter(network_type: str) -> dict | None:
+    """Exclude-filter dict per network type (config/osm_filters.py)."""
+    if network_type in ("driving", "driving+psv"):
+        f = {
+            "area": ["yes"],
+            "highway": list(_DRIVE_EXCLUDE_HIGHWAY),
+            "motor_vehicle": ["no"],
+            "motorcar": ["no"],
+            "service": ["parking", "parking_aisle", "private",
+                        "emergency_access"],
+        }
+        if network_type == "driving":
+            f["psv"] = ["yes"]
+        return f
+    if network_type == "walking":
+        return {
+            "area": ["yes"],
+            "highway": list(_WALK_EXCLUDE_HIGHWAY),
+            "foot": ["no"],
+            "service": ["private"],
+        }
+    if network_type == "cycling":
+        return {
+            "area": ["yes"],
+            "highway": list(_CYCLE_EXCLUDE_HIGHWAY),
+            "bicycle": ["no"],
+            "service": ["private"],
+        }
+    if network_type == "all":
+        return None  # every highway way
+    raise ValueError(f"unknown network_type {network_type!r}")
+
+
+# direction-override suffix per network type (graphs.py:36-130: cycling
+# uses oneway:bicycle contraflow exceptions)
+DIRECTION_SUFFIX = {"cycling": "bicycle"}
+
+NETWORK_TAG_COLS = [
+    "highway", "name", "oneway", "oneway:bicycle", "junction", "maxspeed",
+    "lanes", "ref", "service", "access", "foot", "bicycle",
+    "motor_vehicle", "motorcar", "psv", "area",
+]
+BUILDING_TAG_COLS = [
+    "building", "name", "amenity", "shop", "height", "addr:street",
+]
+POI_TAG_COLS = [
+    "amenity", "shop", "tourism", "leisure", "name", "natural",
+]
+LANDUSE_TAG_COLS = ["landuse", "name"]
+NATURAL_TAG_COLS = ["natural", "name"]
+BOUNDARY_TAG_COLS = ["boundary", "name", "admin_level", "type"]

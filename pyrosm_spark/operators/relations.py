@@ -1,0 +1,168 @@
+"""Relation geometry assembly: member-way joins + multipolygon overlay.
+
+Spark shape of SURVEY.md §2.3 J3/J4 + §2.8 G5/G6:
+    kept relations -> explode members (type='way', deduped)      [J3]
+    -> hash join member ways' assembled coordinates               [J1 reuse]
+    -> groupBy relation: collect member linework                  [1 shuffle]
+    -> pandas UDF: line_merge -> closed rings -> even-odd overlay [G6]
+Standalone-way outputs exclude member ways of kept relations via a
+left-anti join (J4, data_manager.pyx:70-84).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyrosm_spark.functions import geometry_np as G
+from pyrosm_spark.operators import geometry as geom
+
+# G5 exception lists (relations.pyx:70-134)
+_RAILWAY_AREA_VALUES = ["platform", "station", "turntable", "roundhouse",
+                        "traverser", "wash"]
+_HIGHWAY_AREA_VALUES = ["platform", "rest_area", "services"]
+_WATERWAY_AREA_VALUES = ["riverbank", "dock", "boatyard", "dam", "fuel"]
+
+
+def _nn(c):
+    return F.coalesce(c, F.lit(False))
+
+
+def force_linestring_col(tags) -> F.Column:
+    """G5 — relation LineString-vs-area typing (relations.pyx:70-134).
+
+    Keys are probed in the reference's order (barrier, route, railway,
+    highway, waterway); the first decisive key wins, then ``area=no``
+    forces linestring, then ``type in (multipolygon, boundary)`` forces
+    area over everything (#21). Pure when/otherwise chain.
+    """
+    barrier, route = tags["barrier"], tags["route"]
+    railway, highway = tags["railway"], tags["highway"]
+    waterway, area, rtype = tags["waterway"], tags["area"], tags["type"]
+
+    loop_verdict = (
+        F.when(barrier.isNotNull(), F.lit(True))
+        .when(route.isNotNull(), F.lit(True))
+        .when(_nn(railway.isNotNull() & ~railway.isin(_RAILWAY_AREA_VALUES)),
+              F.lit(True))
+        # highway=pedestrian with an area tag decides here (break) either way
+        .when(_nn((highway == "pedestrian") & area.isNotNull()),
+              _nn(area != "yes"))
+        .when(_nn(highway.isNotNull() & (highway != "pedestrian")
+                  & ~highway.isin(_HIGHWAY_AREA_VALUES)), F.lit(True))
+        .when(_nn(waterway.isNotNull() & ~waterway.isin(_WATERWAY_AREA_VALUES)),
+              F.lit(True))
+        .otherwise(F.lit(False))
+    )
+    with_area_no = loop_verdict | _nn(area == "no")
+    return F.when(
+        _nn(rtype.isin(["multipolygon", "boundary"])), F.lit(False)
+    ).otherwise(with_area_no)
+
+
+@F.pandas_udf(T.BinaryType())
+def relation_geometry_wkb(
+    member_wkbs: pd.Series, force_linestring: pd.Series
+) -> pd.Series:
+    """G6 — per-relation geometry from member linework.
+
+    ``member_wkbs`` is array<binary> of member-way LineString WKBs (one
+    per member way; WKB chosen over nested struct arrays because Arrow
+    transfers flat binary lists efficiently). Area relations run the OSM
+    multipolygon algorithm (geometry.pyx:195-240): line_merge, keep
+    closed rings, even-odd overlay; returns MultiPolygon WKB (or None
+    when no ring survives — the reference drops such relations).
+    Linestring relations (routes etc.) line_merge into a
+    MultiLineString (geometry.pyx:268-275).
+    """
+    out = []
+    for members, force_ls in zip(member_wkbs, force_linestring):
+        lines = []
+        if members is not None:
+            for wkb in members:
+                if wkb is None:
+                    continue
+                gtype, coords = G.parse_wkb(bytes(wkb))
+                if gtype == G.WKB_LINESTRING and len(coords) >= 2:
+                    lines.append(coords)
+        if not lines:
+            out.append(None)
+            continue
+        if force_ls:
+            merged = G.line_merge(lines)
+            out.append(G.wkb_multilinestring(merged) if merged else None)
+            continue
+        polys = G.assemble_multipolygon(lines)
+        out.append(G.wkb_multipolygon(polys) if polys else None)
+    return pd.Series(out)
+
+
+def relation_member_ways(relations: DataFrame) -> DataFrame:
+    """Explode way members, deduped per relation (relations.pyx:41-42),
+    type-qualified so colliding node/relation ids never join (J3;
+    collect.py:20-23)."""
+    return (
+        relations.select(
+            F.col("id").alias("rel_id"), F.explode("members").alias("m")
+        )
+        .filter(F.col("m.member_type") == "way")
+        .select("rel_id", F.col("m.member_id").alias("way_id"),
+                F.col("m.member_role").alias("member_role"))
+        .dropDuplicates(["rel_id", "way_id"])
+    )
+
+
+def assemble_relations(
+    relations: DataFrame,
+    ways: DataFrame,
+    nodes: DataFrame,
+    member_way_restriction: DataFrame | None = None,
+) -> DataFrame:
+    """Relations + geometry. ``member_way_restriction`` (optional set of
+    allowed way ids, e.g. in-box ways when complete_relations=False,
+    J6/collect.py:606-623) limits which member ways participate."""
+    members = relation_member_ways(relations)
+    if member_way_restriction is not None:
+        members = members.join(
+            member_way_restriction.select(F.col("id").alias("way_id")),
+            "way_id", "left_semi",
+        )
+    member_ways = members.join(
+        ways.select(F.col("id").alias("way_id"), "refs"), "way_id", "inner"
+    )
+    with_pts = geom.way_coordinates(
+        member_ways.withColumnRenamed("way_id", "id"), nodes
+    ).filter(geom.pts_size() >= 2)
+    member_lines = with_pts.withColumn(
+        "_line", geom.way_geometry_wkb(F.col(geom.PTS_FIELD), F.lit(False))
+    )
+    # The reference assembles by geometry, order-independent (#21) —
+    # sort members by way id for a deterministic collect_list.
+    per_rel = (
+        member_lines.groupBy("rel_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("_line")))
+            ).alias("_mw")
+        )
+        .select(
+            "rel_id",
+            F.transform(F.col("_mw"), lambda s: s["_line"]).alias(
+                "member_wkbs"
+            ),
+        )
+    )
+    rel = relations.join(per_rel, relations["id"] == per_rel["rel_id"], "inner")
+    rel = rel.withColumn("_force_ls", force_linestring_col(F.col("tags")))
+    rel = rel.withColumn(
+        "geometry",
+        relation_geometry_wkb(F.col("member_wkbs"), F.col("_force_ls")),
+    )
+    return (
+        rel.filter(F.col("geometry").isNotNull())
+        .drop("rel_id", "member_wkbs", "_force_ls", "members")
+        .withColumn("osm_type", F.lit("relation"))
+    )
