@@ -1,0 +1,312 @@
+"""Spatial joins over the quad-tile index: tile assignment,
+point-in-polygon, cell-local kNN, raster-tile<->polygon joins — with
+explicit skew handling (salting + adaptive cell splitting + AQE).
+
+This is the engine's 10^12-row layer (BASELINE.json north_rule). The
+reference's only spatial ops are a bbox filter and a final sjoin
+(F1/J10); here they generalize to equi-joins on discrete cells:
+
+    points:   cell = cell_id(lon, lat, res)            [pure codegen]
+    polygons: cover = bbox cells at res                [pure codegen]
+    join on cell -> exact refine (ray-cast pandas UDF) [Arrow batch]
+
+Everything before the refine is whole-stage-codegen arithmetic; the
+refine only sees candidate pairs (cover-pruned), so the Python cost is
+proportional to output size, not input size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyrosm_spark.functions import geometry_np as G
+from pyrosm_spark.functions import tiles
+from pyrosm_spark.functions.distance import haversine_m
+from pyrosm_spark.functions.tiles import _RES_SHIFT, _X_SHIFT  # noqa: F401
+
+
+def assign_tiles(points: DataFrame, res: int, lon_col: str = "lon",
+                 lat_col: str = "lat", out_col: str = "cell") -> DataFrame:
+    """Tile-assignment: every point row gets its int64 cell id. Pure
+    Catalyst arithmetic — no UDF, survives any scale."""
+    return points.withColumn(
+        out_col, tiles.cell_id(F.col(lon_col), F.col(lat_col), res)
+    )
+
+
+# --------------------------------------------------------------------------
+# Polygon covers
+# --------------------------------------------------------------------------
+
+@F.pandas_udf(T.StructType([
+    T.StructField("xmin", T.DoubleType()),
+    T.StructField("ymin", T.DoubleType()),
+    T.StructField("xmax", T.DoubleType()),
+    T.StructField("ymax", T.DoubleType()),
+]))
+def wkb_bbox(geometry: pd.Series) -> pd.DataFrame:
+    """Geometry bbox from WKB (one pass per feature; cached thereafter)."""
+    rows = []
+    for buf in geometry:
+        if buf is None:
+            rows.append((None, None, None, None))
+            continue
+        gtype, payload = G.parse_wkb(bytes(buf))
+        if gtype == G.WKB_POINT:
+            x, y = payload
+            rows.append((x, y, x, y))
+            continue
+        if gtype == G.WKB_LINESTRING:
+            coords = [payload]
+        elif gtype == G.WKB_POLYGON:
+            coords = payload
+        elif gtype == G.WKB_MULTILINESTRING:
+            coords = payload
+        else:  # multipolygon: list of ring-lists
+            coords = [r for rings in payload for r in rings]
+        allc = np.concatenate(coords, axis=0)
+        rows.append((float(allc[:, 0].min()), float(allc[:, 1].min()),
+                     float(allc[:, 0].max()), float(allc[:, 1].max())))
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+def cover_cells_expr(bbox_col: str, res: int) -> F.Column:
+    """All cells at ``res`` intersecting a bbox struct — *native SQL*
+    polyfill: sequence() over the x/y index ranges, flattened. Keeps the
+    cover generation inside codegen; cover size is bounded by the
+    polygon extent (buildings at res 15-17 cover a handful of cells)."""
+    n = 1 << res
+    b = F.col(bbox_col)
+
+    def idx(coord, offset, extent):
+        v = F.floor((coord + F.lit(offset)) / F.lit(extent) * F.lit(float(n)))
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), v)).cast("long")
+
+    x0, x1 = idx(b["xmin"], 180.0, 360.0), idx(b["xmax"], 180.0, 360.0)
+    y0, y1 = idx(b["ymin"], 90.0, 180.0), idx(b["ymax"], 90.0, 180.0)
+    base = F.lit(res << _RES_SHIFT).cast("long")
+    return F.flatten(
+        F.transform(
+            F.sequence(x0, x1),
+            lambda x: F.transform(
+                F.sequence(y0, y1),
+                lambda y: base + F.shiftleft(x, _X_SHIFT) + y,
+            ),
+        )
+    )
+
+
+def polygon_cover(polygons: DataFrame, res: int,
+                  geometry_col: str = "geometry") -> DataFrame:
+    """One row per (feature, covering cell). Adds ``bbox`` when absent."""
+    if "bbox" not in polygons.columns:
+        polygons = polygons.withColumn("bbox", wkb_bbox(F.col(geometry_col)))
+    return polygons.withColumn(
+        "cell", F.explode(cover_cells_expr("bbox", res))
+    )
+
+
+# --------------------------------------------------------------------------
+# Point-in-polygon join
+# --------------------------------------------------------------------------
+
+@F.pandas_udf(T.BooleanType())
+def point_in_wkb_polygon(lon: pd.Series, lat: pd.Series,
+                         geometry: pd.Series) -> pd.Series:
+    """Exact refine: ray-cast the point against the candidate polygon.
+
+    Candidate pairs arrive cover-pruned, and identical polygons repeat
+    within an Arrow batch — group by polygon and vectorize over its
+    points so the ring loop runs once per (polygon, batch).
+    """
+    lon_np = lon.to_numpy()
+    lat_np = lat.to_numpy()
+    out = np.zeros(len(lon_np), dtype=bool)
+    groups: dict = {}
+    for i, buf in enumerate(geometry):
+        if buf is not None:
+            groups.setdefault(bytes(buf), []).append(i)
+    for buf, idxs in groups.items():
+        gtype, payload = G.parse_wkb(buf)
+        if gtype == G.WKB_POLYGON:
+            ring_sets = [payload]
+        elif gtype == G.WKB_MULTIPOLYGON:
+            ring_sets = payload
+        else:
+            continue
+        ii = np.array(idxs)
+        px, py = lon_np[ii], lat_np[ii]
+        inside = np.zeros(len(ii), dtype=bool)
+        for rings in ring_sets:
+            inside |= G.points_in_polygon(px, py, rings)
+        out[ii] = inside
+    return pd.Series(out)
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 15,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    broadcast_polygons: bool | None = None,
+    point_salt: int = 0,
+    how: str = "inner",
+) -> DataFrame:
+    """J10 at scale: points x polygon-features via cell equi-join + exact
+    ray-cast refine.
+
+    * ``broadcast_polygons`` forces/forbids a broadcast of the cover side
+      (None = let Catalyst/AQE decide under the configured threshold).
+    * ``point_salt`` > 0 adds a salt column to the join key: the cover
+      side is replicated salt-fold so one hot cell (a dense city tile)
+      spreads over ``point_salt`` reducers — the explicit skew-handling
+      path when AQE skew-join alone can't split a single key.
+    """
+    pts = assign_tiles(points, res, lon_col, lat_col)
+    cover = polygon_cover(polygons, res)
+    # deterministic output schema: every polygon-side column is poly_*
+    for c in cover.columns:
+        if c != "cell" and not c.startswith("poly_"):
+            cover = cover.withColumnRenamed(c, f"poly_{c}")
+
+    if point_salt and point_salt > 1:
+        pts = pts.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(lon_col), F.col(lat_col)),
+                            F.lit(point_salt)).cast("int")
+        )
+        cover = cover.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(point_salt - 1)))
+        )
+        keys = ["cell", "_salt"]
+    else:
+        keys = ["cell"]
+
+    right = F.broadcast(cover) if broadcast_polygons else cover
+    cand = pts.join(right, keys, "inner")
+    geo = "poly_geometry" if "poly_geometry" in cand.columns else "geometry"
+    refined = cand.filter(
+        point_in_wkb_polygon(F.col(lon_col), F.col(lat_col), F.col(geo))
+    )
+    return refined.drop("_salt") if point_salt and point_salt > 1 else refined
+
+
+# --------------------------------------------------------------------------
+# Cell-local kNN
+# --------------------------------------------------------------------------
+
+def knn_join(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int = 3,
+    res: int = 12,
+    ring: int = 1,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    target_id_col: str = "id",
+    target_lon: str = "lon",
+    target_lat: str = "lat",
+) -> DataFrame:
+    """k nearest targets per point, cell-local: targets are replicated
+    into their (2*ring+1)^2 neighbor cells (native-SQL neighbor
+    enumeration), points equi-join on their own cell, haversine ranks
+    top-k per point. Entirely JVM-side (window + codegen arithmetic).
+
+    Correctness caveat (documented, same trade as H3 kRing kNN): a
+    neighbor farther than the ring's cell span is missed; choose
+    ``res``/``ring`` so the ring covers the expected kth-neighbor
+    radius, or escalate ring for points with < k matches.
+    """
+    n = 1 << res
+    base = F.lit(res << _RES_SHIFT).cast("long")
+    tx = tiles.cell_x(F.col(target_lon), res)
+    ty = tiles.cell_y(F.col(target_lat), res)
+    offs = F.sequence(F.lit(-ring), F.lit(ring))
+    neighbor_cells = F.flatten(
+        F.transform(
+            offs,
+            lambda dx: F.filter(
+                F.transform(
+                    offs,
+                    lambda dy: F.when(
+                        (tx + dx >= 0) & (tx + dx < n)
+                        & (ty + dy >= 0) & (ty + dy < n),
+                        base + F.shiftleft(tx + dx, _X_SHIFT) + (ty + dy),
+                    ),
+                ),
+                lambda c: c.isNotNull(),
+            ),
+        )
+    )
+    tgt = targets.select(
+        F.col(target_id_col).alias("neighbor_id"),
+        F.col(target_lon).alias("n_lon"),
+        F.col(target_lat).alias("n_lat"),
+        F.explode(neighbor_cells).alias("cell"),
+    )
+    pts = assign_tiles(points, res, lon_col, lat_col)
+    cand = pts.join(tgt, "cell", "inner").withColumn(
+        "distance_m",
+        haversine_m(F.col(lat_col), F.col(lon_col),
+                    F.col("n_lat"), F.col("n_lon")),
+    )
+    from pyspark.sql import Window as W
+
+    id_cols = [c for c in points.columns if c not in (lon_col, lat_col)]
+    part = id_cols[0] if id_cols else lon_col
+    w = W.partitionBy(part).orderBy(F.col("distance_m").asc(),
+                                    F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew diagnostics / adaptive splitting
+# --------------------------------------------------------------------------
+
+def cell_histogram(points: DataFrame, res: int, lon_col: str = "lon",
+                   lat_col: str = "lat") -> DataFrame:
+    """Per-cell row counts — the data-driven input to salting decisions
+    (SURVEY.md §4 'skew handling': the cell-histogram stage)."""
+    return (
+        assign_tiles(points, res, lon_col, lat_col)
+        .groupBy("cell").count()
+    )
+
+
+def hot_cells(points: DataFrame, res: int, threshold_ratio: float = 8.0,
+              lon_col: str = "lon", lat_col: str = "lat") -> list:
+    """Cells whose count exceeds ``threshold_ratio`` x the mean — the
+    candidates for salting / finer-resolution splitting. Driver-side
+    result (small: one row per occupied cell)."""
+    hist = cell_histogram(points, res, lon_col, lat_col)
+    stats = hist.agg(F.avg("count").alias("mean")).collect()[0]
+    mean = stats["mean"] or 0.0
+    rows = hist.filter(F.col("count") > mean * threshold_ratio).collect()
+    return [(r["cell"], r["count"]) for r in rows]
+
+
+def assign_tiles_adaptive(
+    points: DataFrame, res: int, hot: list, split_levels: int = 3,
+    lon_col: str = "lon", lat_col: str = "lat", out_col: str = "cell",
+) -> DataFrame:
+    """Adaptive cell splitting: rows in ``hot`` cells get a cell id at
+    ``res + split_levels`` (16-256x smaller tiles), everyone else stays
+    at ``res``. The result remains a single int64 join/groupBy key whose
+    per-key cardinality is bounded — the 'adaptive cell splitting' of
+    the north rule, as plain Columns."""
+    hot_ids = [c for c, _ in hot]
+    coarse = tiles.cell_id(F.col(lon_col), F.col(lat_col), res)
+    fine = tiles.cell_id(F.col(lon_col), F.col(lat_col),
+                         min(res + split_levels, tiles.MAX_RES))
+    if not hot_ids:
+        return points.withColumn(out_col, coarse)
+    return points.withColumn(
+        out_col, F.when(coarse.isin(hot_ids), fine).otherwise(coarse)
+    )

@@ -1,0 +1,176 @@
+"""Spatial-join correctness vs brute-force numpy oracles."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyrosm_spark.functions import geometry_np as G
+from pyrosm_spark.functions import tiles as TT
+from pyrosm_spark.operators.layers import get_buildings
+from pyrosm_spark.operators.osm_source import load_osm
+from pyrosm_spark.operators.spatial_join import (
+    assign_tiles,
+    assign_tiles_adaptive,
+    cell_histogram,
+    hot_cells,
+    knn_join,
+    point_in_polygon_join,
+    polygon_cover,
+)
+
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def images(spark, synth_dir):
+    return spark.read.parquet(os.path.join(synth_dir, "images.parquet"))
+
+
+@pytest.fixture(scope="module")
+def buildings(spark, synth_dir):
+    nodes, ways, rels = load_osm(spark, synth_dir)
+    b = get_buildings(nodes, ways, rels).select("id", "osm_type", "geometry")
+    # polygons only
+    return b.cache()
+
+
+def test_tile_assignment_matches_closed_form(spark, images):
+    rows = assign_tiles(images, 15).select("image_id", "lon", "lat",
+                                           "cell").collect()
+    assert len(rows) == 2000
+    for r in rows[:300]:
+        assert r["cell"] == TT.encode_py(r["lon"], r["lat"], 15)
+
+
+def test_polygon_cover_contains_vertices(spark, buildings):
+    rows = polygon_cover(buildings, 15).select("id", "geometry",
+                                               "cell").collect()
+    covers = {}
+    for r in rows:
+        covers.setdefault(r["id"], set()).add(r["cell"])
+    # every polygon vertex's cell is in the cover
+    seen = set()
+    for r in rows:
+        if r["id"] in seen:
+            continue
+        seen.add(r["id"])
+        gtype, payload = G.parse_wkb(bytes(r["geometry"]))
+        if gtype == G.WKB_POLYGON:
+            rings = payload
+        elif gtype == G.WKB_MULTIPOLYGON:
+            rings = [x for p in payload for x in p]
+        else:
+            continue
+        for ring in rings:
+            for lon, lat in ring:
+                assert TT.encode_py(lon, lat, 15) in covers[r["id"]]
+
+
+def _pip_oracle(img_rows, poly_rows):
+    """Brute force: every (point, polygon) containment pair."""
+    pairs = set()
+    polys = []
+    for r in poly_rows:
+        gtype, payload = G.parse_wkb(bytes(r["geometry"]))
+        if gtype == G.WKB_POLYGON:
+            polys.append((r["id"], [payload]))
+        elif gtype == G.WKB_MULTIPOLYGON:
+            polys.append((r["id"], payload))
+    px = np.array([r["lon"] for r in img_rows])
+    py = np.array([r["lat"] for r in img_rows])
+    ids = [r["image_id"] for r in img_rows]
+    for pid, ring_sets in polys:
+        inside = np.zeros(len(px), dtype=bool)
+        for rings in ring_sets:
+            inside |= G.points_in_polygon(px, py, rings)
+        for i in np.nonzero(inside)[0]:
+            pairs.add((ids[i], pid))
+    return pairs
+
+
+def test_point_in_polygon_join_matches_bruteforce(spark, images, buildings):
+    joined = point_in_polygon_join(images, buildings, res=15)
+    got = {(r["image_id"], r["poly_id"]) for r in
+           joined.select("image_id", "poly_id").collect()}
+    exp = _pip_oracle(images.collect(), buildings.collect())
+    assert got == exp
+    assert len(exp) > 0  # synthetic data must actually produce hits
+
+
+def test_pip_salted_equals_unsalted(spark, images, buildings):
+    plain = point_in_polygon_join(images, buildings, res=15)
+    salted = point_in_polygon_join(images, buildings, res=15, point_salt=8)
+    a = {(r["image_id"], r["poly_id"]) for r in
+         plain.select("image_id", "poly_id").collect()}
+    b = {(r["image_id"], r["poly_id"]) for r in
+         salted.select("image_id", "poly_id").collect()}
+    assert a == b
+
+
+def test_knn_matches_bruteforce_sample(spark, images, synth_dir):
+    nodes_rows = oracle.load_rows(f"{synth_dir}/osm_nodes.parquet")
+    pois = [n for n in nodes_rows
+            if n["visible"] and "amenity" in oracle.tagdict(n)]
+    poi_df = spark.createDataFrame(
+        [(n["id"], n["lon"], n["lat"]) for n in pois], "id long, lon double, lat double"
+    )
+    got = knn_join(images.select("image_id", "lon", "lat"), poi_df,
+                   k=3, res=10, ring=1)
+    got_map = {}
+    for r in got.select("image_id", "neighbor_id", "knn_rank",
+                        "distance_m").collect():
+        got_map.setdefault(r["image_id"], []).append(
+            (r["knn_rank"], r["neighbor_id"], r["distance_m"]))
+    img_rows = images.select("image_id", "lon", "lat").collect()
+    tx = np.array([p["lon"] for p in pois])
+    ty = np.array([p["lat"] for p in pois])
+    tid = np.array([p["id"] for p in pois])
+    checked = 0
+    for r in img_rows[:200]:
+        d = G.haversine_m_np(r["lat"], r["lon"], ty, tx)
+        order = np.lexsort((tid, d))[:3]
+        exp = [int(tid[i]) for i in order]
+        gm = sorted(got_map.get(r["image_id"], []))
+        # ring may truncate the true kNN at cell borders; require exact
+        # match whenever the engine returned all 3 within the ring
+        if len(gm) == 3:
+            got_ids = [g[1] for g in gm]
+            # compare by distance (id tiebreak), allowing the documented
+            # ring-boundary miss only if the true kth neighbor is farther
+            # than one cell span (~4km at res 10)
+            for g_id, e_id in zip(got_ids, exp):
+                if g_id != e_id:
+                    # verify the miss is a ring-boundary case
+                    e_d = float(d[list(tid).index(e_id)])
+                    assert e_d > 2000.0, (r["image_id"], got_ids, exp)
+                    break
+            else:
+                checked += 1
+    assert checked > 100  # most points match brute force exactly
+
+
+def test_hot_cell_detection_and_adaptive_split(spark, images):
+    hot = hot_cells(images, res=12, threshold_ratio=4.0)
+    assert len(hot) >= 1  # generator plants hot discs
+    adaptive = assign_tiles_adaptive(images, 12, hot, split_levels=3)
+    rows = adaptive.select("lon", "lat", "cell").collect()
+    hot_ids = {c for c, _ in hot}
+    n_fine = n_coarse = 0
+    for r in rows:
+        res = r["cell"] >> 58
+        base = TT.encode_py(r["lon"], r["lat"], 12)
+        if base in hot_ids:
+            assert res == 15
+            n_fine += 1
+        else:
+            assert res == 12 and r["cell"] == base
+            n_coarse += 1
+    assert n_fine > 0 and n_coarse > 0
+    # splitting actually reduces the max key cardinality
+    hist0 = {r["cell"]: r["count"]
+             for r in cell_histogram(images, 12).collect()}
+    from collections import Counter
+    hist1 = Counter(r["cell"] for r in rows)
+    assert max(hist1.values()) < max(hist0.values())
