@@ -1,0 +1,113 @@
+"""Multimodal (image payload) operators: decode / verify / feature
+extraction / resize over the binary ``bytes`` column.
+
+The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
+iterator, partition sizing — is real and tested; the codec layer is
+``functions.image_np`` (real PNG, deterministic lossy stand-in ``qimg``,
+explicit NotImplementedError stub for libjpeg-dependent formats, per
+the task brief: image libs aren't in this container).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyrosm_spark.functions import image_np as I
+
+FEATURE_SCHEMA = (
+    "image_id string, ok boolean, err string, h int, w int, "
+    "mean_r double, mean_g double, mean_b double, "
+    "phash_computed long, phash_match boolean, caption_len int"
+)
+
+
+def decode_features(images: DataFrame, sample_ratio: float = 1.0) -> DataFrame:
+    """Decode every payload and emit per-image features + invariant
+    checks (phash recompute == stored phash). ``sample_ratio`` < 1
+    subsamples deterministically by image_id hash — the bench-mode
+    switch the task brief asks for (exhaustive in tests, sampled in
+    bench)."""
+
+    def batch_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.bytes is None:
+                    continue
+                try:
+                    px = I.decode_image(bytes(r.bytes), r.fmt)
+                    ph = I.phash64(px)
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    rows.append((r.image_id, True, None, px.shape[0],
+                                 px.shape[1], float(m[0]), float(m[1]),
+                                 float(m[2]), ph, ph == r.phash,
+                                 len(r.caption or "")))
+                except NotImplementedError as e:
+                    rows.append((r.image_id, False, f"stub: {e}", None, None,
+                                 None, None, None, None, None,
+                                 len(r.caption or "")))
+                except Exception as e:  # corrupt payload -> flagged row
+                    rows.append((r.image_id, False, f"{type(e).__name__}: {e}",
+                                 None, None, None, None, None, None, None,
+                                 len(r.caption or "")))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "ok", "err", "h", "w", "mean_r", "mean_g",
+                "mean_b", "phash_computed", "phash_match", "caption_len",
+            ])
+
+    src = images.select("image_id", "bytes", "fmt", "phash", "caption")
+    if sample_ratio < 1.0:
+        mod = max(int(1.0 / sample_ratio), 1)
+        src = src.filter(F.pmod(F.xxhash64("image_id"), F.lit(mod)) == 0)
+    return src.mapInPandas(batch_fn, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def resize_images(images: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Block-mean resize of every decodable payload, re-encoded as PNG —
+    a real transform pipeline (decode -> numpy -> encode) exercising the
+    full binary-in/binary-out UDF shape used for thumbnailing at scale."""
+
+    def batch_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.bytes is None:
+                    continue
+                try:
+                    px = I.decode_image(bytes(r.bytes), r.fmt)
+                except (NotImplementedError, Exception):
+                    continue
+                ys = (np.arange(out_h + 1) * px.shape[0]) // out_h
+                xs = (np.arange(out_w + 1) * px.shape[1]) // out_w
+                small = np.zeros((out_h, out_w, 3), dtype=np.uint8)
+                for i in range(out_h):
+                    for j in range(out_w):
+                        block = px[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                   xs[j]:max(xs[j + 1], xs[j] + 1)]
+                        small[i, j] = block.reshape(-1, 3).mean(axis=0)
+                rows.append((r.image_id, I.encode_png(small), out_w, out_h,
+                             "png"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h",
+                                              "fmt"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        batch_fn, schema=RESIZE_SCHEMA
+    )
+
+
+def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
+    """STUB — video frame sampling needs an av/ffmpeg decoder absent
+    from this container. The distributed shape would be identical to
+    decode_features (mapInPandas, binary in / struct rows out)."""
+    raise NotImplementedError(
+        "video frame sampling requires an ffmpeg/pyav build; "
+        "swap this stub when the dependency is available"
+    )

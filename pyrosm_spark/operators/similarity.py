@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(the correctness baseline) and hyperplane-LSH bucketed ANN (the scale
+path).
+
+At 10^12 rows the brute-force path is only for broadcast-sized query
+sets (its shape is queries x corpus with the corpus streamed); the LSH
+path buckets the corpus once (signature = sign pattern of R random
+hyperplane dots) and probes only matching buckets — per-bucket work,
+equi-join shaped, skew-safe under AQE.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+_HYPERPLANE_SEED = 20260816
+N_PLANES = 12  # default bucket bits (4096 buckets) for corpus bucketing
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self-matches).
+
+    The dot product is a native zip_with/aggregate (JVM codegen, no
+    Python); ranking is one window. The query side is broadcast so the
+    corpus never shuffles — scan-shaped at any corpus size.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
+    qq = F.broadcast(q) if broadcast_queries else q
+    scored = (
+        c.join(qq, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qvec"), F.col("cvec"))
+                    / (F.col("qnorm") * F.col("cnorm")), 6),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _ann_dedupe(scored: DataFrame) -> DataFrame:
+    """Multi-probe can surface the same (query, neighbor) from several
+    buckets — collapse before ranking."""
+    return scored.dropDuplicates(["query_id", "neighbor_id"])
+
+
+def cosine_topk_sql(table: str = "embeddings", k: int = 5,
+                    query_filter: str = "1=1") -> str:
+    """DuckDB mirror (list_cosine_similarity + row_number)."""
+    cos = (
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+        "CAST(c.embedding AS DOUBLE[]))"
+    )
+    return f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({cos}, 6) AS cosine
+            FROM {table} q JOIN {table} c ON q.vec_id != c.vec_id
+            WHERE {query_filter}
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+# --------------------------------------------------------------------------
+# Hyperplane LSH buckets (scale path)
+# --------------------------------------------------------------------------
+
+def _planes(dim: int, n_planes: int, table: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(_HYPERPLANE_SEED + 7919 * table)
+    return rng.standard_normal((n_planes, dim))
+
+
+def make_bucket_udf(dim: int, n_planes: int = N_PLANES, n_tables: int = 1):
+    """UDF: vector -> array of per-table bucket ids, where bucket id
+    encodes (table << n_planes) | sign-pattern. One matmul per batch."""
+    all_planes = np.concatenate(
+        [_planes(dim, n_planes, t) for t in range(n_tables)], axis=0
+    )  # (n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes))[::-1]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def lsh_buckets(vec: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vec])
+        signs = (mat @ all_planes.T) > 0  # (n, n_tables*n_planes)
+        signs = signs.reshape(len(vec), n_tables, n_planes)
+        codes = (signs * weights).sum(axis=2).astype(np.int32)
+        codes |= (np.arange(n_tables, dtype=np.int32) << n_planes)[None, :]
+        return pd.Series(list(codes))
+
+    return lsh_buckets
+
+
+def ann_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH: ``n_tables``
+    independent sign-hash tables of ``n_planes`` bits; a candidate is
+    any corpus vector sharing >=1 table bucket with the query. Bucket
+    assignment is one Arrow matmul per side; the probe is an equi-join
+    on the encoded (table, bucket) int. Recall/cost dials: tables up =
+    recall up (linear probe cost), planes up = buckets smaller = cost
+    down / recall down."""
+    bucket = make_bucket_udf(dim, n_planes, n_tables)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("bucket", F.explode(bucket(F.col("qvec"))))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("bucket", F.explode(bucket(F.col("cvec"))))
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
+        .withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qvec"), F.col("cvec"))
+                    / (F.col("qnorm") * F.col("cnorm")), 6),
+        )
+    )
+    scored = _ann_dedupe(scored)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

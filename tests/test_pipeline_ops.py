@@ -1,0 +1,187 @@
+"""Training-data pipeline ops vs their DuckDB oracle SQL.
+
+This mirrors exactly what the driver's correctness gate does: run the
+Spark DataFrame op and the oracle SQL on the same parquet, compare
+sorted values — so any mismatch shows up here first.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pyrosm_spark.operators import dedup as D
+from pyrosm_spark.operators import multimodal as M
+from pyrosm_spark.operators import similarity as S
+from pyrosm_spark.operators import text as TX
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for name in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+    return con
+
+
+def compare(spark_df, duck_rows, duck_cols, float_tol=1e-9):
+    """Order-insensitive row compare with float tolerance."""
+    got_cols = spark_df.columns
+    assert sorted(got_cols) == sorted(duck_cols), (got_cols, duck_cols)
+    reorder = [got_cols.index(c) for c in duck_cols]
+
+    def norm(rows):
+        out = []
+        for r in rows:
+            vals = []
+            for v in r:
+                if isinstance(v, float):
+                    vals.append(round(v, 6))
+                else:
+                    vals.append(v)
+            out.append(tuple(vals))
+        return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+    got = norm([tuple(r[i] for i in reorder) for r in spark_df.collect()])
+    exp = norm([tuple(r) for r in duck_rows])
+    assert len(got) == len(exp), (len(got), len(exp))
+    for g, e in zip(got, exp):
+        for gv, ev in zip(g, e):
+            if isinstance(gv, float) and isinstance(ev, float):
+                assert math.isclose(gv, ev, rel_tol=1e-6, abs_tol=1e-6), (g, e)
+            else:
+                assert gv == ev, (g, e)
+
+
+def run_oracle(duck, sql):
+    cur = duck.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cur.fetchall(), cols
+
+
+def test_analyze_documents_vs_oracle(spark, docs, duck):
+    got = TX.analyze_documents(docs)
+    rows, cols = run_oracle(duck, TX.analyze_documents_sql("documents"))
+    compare(got, rows, cols)
+
+
+def test_exact_dedup_vs_oracle(spark, docs, duck):
+    got = D.exact_dedup(docs)
+    rows, cols = run_oracle(duck, D.exact_dedup_sql("documents"))
+    compare(got, rows, cols)
+
+
+def test_ngram_jaccard_vs_oracle(spark, docs, duck):
+    got = D.ngram_jaccard_pairs(docs, threshold=0.2)
+    rows, cols = run_oracle(duck, D.ngram_jaccard_sql("documents", 0.2))
+    compare(got, rows, cols)
+
+
+def test_minhash_signatures_vs_oracle(spark, docs, duck):
+    got = D.minhash_signatures(docs)
+    rows, cols = run_oracle(duck, D.minhash_signature_sql("documents"))
+    compare(got, rows, cols)
+
+
+def test_minhash_lsh_pairs_vs_oracle(spark, docs, duck):
+    got = D.minhash_lsh_pairs(docs)
+    rows, cols = run_oracle(duck, D.minhash_lsh_pairs_sql("documents"))
+    compare(got, rows, cols)
+
+
+def test_embedding_cosine_vs_oracle(spark, emb, duck):
+    got = D.embedding_cosine_pairs(emb, threshold=0.9)
+    rows, cols = run_oracle(duck, D.embedding_cosine_sql("embeddings", 0.9))
+    compare(got, rows, cols)
+
+
+def test_cosine_topk_vs_oracle(spark, emb, duck):
+    got = S.cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+    rows, cols = run_oracle(
+        duck, S.cosine_topk_sql("embeddings", 5, "q.vec_id < 20"))
+    compare(got, rows, cols)
+
+
+def test_ann_lsh_recall(spark, emb):
+    """Multi-table LSH ANN recall vs exact top-1.
+
+    These synthetic embeddings have weak nearest neighbors (top-1
+    cosine ~0.35 => per-plane collision ~0.62), so the analytical
+    recall for 4 planes x 16 tables is 1-(1-0.62^4)^16 ~ 0.92; assert
+    comfortably below that but far above chance. Also check the
+    returned cosines are never better than exact (sanity)."""
+    exact = S.cosine_topk(emb.filter(F.col("vec_id") < 50), emb, k=1)
+    approx = S.ann_topk_lsh(emb.filter(F.col("vec_id") < 50), emb, k=1,
+                            n_planes=4, n_tables=16)
+    e = {r["query_id"]: (r["neighbor_id"], r["cosine"])
+         for r in exact.collect()}
+    a = {r["query_id"]: (r["neighbor_id"], r["cosine"])
+         for r in approx.collect()}
+    hits = sum(1 for q in a if e.get(q, (None,))[0] == a[q][0])
+    assert len(a) > 0
+    assert hits / max(len(e), 1) > 0.5, f"recall {hits}/{len(e)}"
+    for q, (nid, cos) in a.items():
+        assert cos <= e[q][1] + 1e-9  # approx can never beat exact
+
+
+def test_simhash_pairs_properties(spark, docs):
+    pairs = D.simhash_pairs(docs, max_hamming=16)
+    rows = pairs.collect()
+    for r in rows:
+        assert 0 <= r["hamming"] <= 16
+        assert r["doc_a"] < r["doc_b"]
+    # deterministic across executions
+    again = {(r["doc_a"], r["doc_b"]) for r in
+             D.simhash_pairs(docs, max_hamming=16).collect()}
+    assert again == {(r["doc_a"], r["doc_b"]) for r in rows}
+
+
+def test_phash_pairs_vs_oracle(spark, synth_dir, duck):
+    path = os.path.join(synth_dir, "images.parquet")
+    images = spark.read.parquet(path)
+    got = D.phash_pairs(images, max_hamming=4)
+    rows, cols = run_oracle(duck, D.phash_pairs_sql(path, 4))
+    compare(got, rows, cols)
+
+
+def test_decode_features_invariants(spark, synth_dir):
+    images = spark.read.parquet(os.path.join(synth_dir, "images.parquet"))
+    feats = M.decode_features(images)
+    rows = feats.collect()
+    assert len(rows) == images.filter(F.col("bytes").isNotNull()).count()
+    assert all(r["ok"] for r in rows)
+    assert all(r["phash_match"] for r in rows)
+
+
+def test_resize_images_roundtrip(spark, synth_dir):
+    from pyrosm_spark.functions.image_np import decode_png
+
+    images = spark.read.parquet(os.path.join(synth_dir, "images.parquet"))
+    small = M.resize_images(images.limit(50), 8, 8)
+    rows = small.collect()
+    assert len(rows) == 50
+    for r in rows:
+        px = decode_png(bytes(r["bytes"]))
+        assert px.shape == (8, 8, 3)
+
+
+def test_frame_sample_stub():
+    with pytest.raises(NotImplementedError):
+        M.frame_sample(None)
