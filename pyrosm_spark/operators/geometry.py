@@ -76,12 +76,16 @@ def pts_size(pts: Column = None) -> Column:
     return F.size(pts if pts is not None else F.col(PTS_FIELD))
 
 
-def way_is_closed(pts: Column = None) -> Column:
-    """Closed ring: first resolved ref == last resolved ref and >= 4 pts
-    (geometry.pyx:508: ``nodes[0] == nodes[-1]``; ring needs 4 coords)."""
-    p = pts if pts is not None else F.col(PTS_FIELD)
-    return (F.size(p) >= 4) & (
-        F.element_at(p, 1)["ref"] == F.element_at(p, -1)["ref"]
+def way_is_closed(refs: Column = None) -> Column:
+    """Closed ring decided on the RAW refs — the reference checks
+    ``nodes[0] == nodes[-1]`` on the way's ref list before resolving
+    coordinates (geometry.pyx:508), so a ring whose middle node is
+    missing/deleted still *decides* polygon (construction may then
+    fail and drop the row, matching the reference's None-geometry
+    path)."""
+    r = refs if refs is not None else F.col("refs")
+    return (F.size(r) >= 4) & (
+        F.element_at(r, 1) == F.element_at(r, -1)
     )
 
 
@@ -158,8 +162,17 @@ def way_geometry_wkb(pts: pd.Series, is_polygon: pd.Series) -> pd.Series:
         if len(coords) < 2:
             out.append(None)
             continue
-        if poly and len(coords) >= 4 and (coords[0] == coords[-1]).all():
-            out.append(G.wkb_polygon([G.orient_ring(coords, ccw=True)]))
+        if poly:
+            ring = coords
+            if not (ring[0] == ring[-1]).all():
+                ring = np.vstack([ring, ring[:1]])  # auto-close (shapely does)
+            # ring viability: >= 3 distinct vertices and non-zero area
+            if len(np.unique(ring[:-1], axis=0)) >= 3 and \
+                    abs(G.signed_area(ring)) > 0.0:
+                out.append(G.wkb_polygon([G.orient_ring(ring, ccw=True)]))
+            else:
+                out.append(None)  # degenerate ring -> dropped (reference
+                #                   returns None, frames drops the row)
         else:
             out.append(G.wkb_linestring(coords))
     return pd.Series(out)
