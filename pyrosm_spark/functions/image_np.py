@@ -207,6 +207,15 @@ def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
         + np.sin(c * (xx + yy) / (w + h) * 2 * np.pi)
     )
     r = ((base - base.min()) / (base.ptp() + 1e-9) * 255).astype(np.uint8)
-    g = ((xx / max(w - 1, 1)) * 255).astype(np.uint8)
-    bch = ((yy / max(h - 1, 1)) * 255).astype(np.uint8)
-    return np.stack([r, g, bch], axis=-1)
+    # gradient channels with seed-dependent orientation so the luma
+    # hash isn't dominated by one fixed direction across all images
+    gx = xx if rng.random() < 0.5 else (w - 1 - xx)
+    gy = yy if rng.random() < 0.5 else (h - 1 - yy)
+    g = ((gx / max(w - 1, 1)) * 255).astype(np.uint8)
+    bch = ((gy / max(h - 1, 1)) * 255).astype(np.uint8)
+    px = np.stack([r, g, bch], axis=-1).astype(np.int16)
+    # seeded per-pixel texture: without it every smooth gradient shares
+    # near-identical average-hash bits and phash near-dup joins degrade
+    # to all-pairs (real photos have texture; the synth must too)
+    noise = rng.integers(-40, 41, px.shape, dtype=np.int16)
+    return np.clip(px + noise, 0, 255).astype(np.uint8)

@@ -1,0 +1,296 @@
+"""Graph export operators: street counts, degrees, connected
+components, largest-component retention, topological simplification.
+
+Reference: ``graph_export.pyx`` (street_count A6), ``graph_simplify.py``
+(endpoint rules + chain collapse X2), ``graph_connectivity.py`` (Tarjan
+SCC X3). Spark shapes:
+
+* street_count / degrees — pure aggregations (A5/A6), no UDF
+* weakly-connected components — iterative small-star label propagation
+  (driver loop over DataFrame ops; converges in O(log n) rounds)
+* largest SCC — hybrid: distributed weak-CC partitioning first, then
+  exact Tarjan per weak component inside ``applyInPandas`` (the
+  pragmatic v1 mapping SURVEY.md §7 calls for; a planet-spanning
+  component would need iterative distributed SCC — documented limit)
+* simplification — endpoint detection as aggregations, chain collapse
+  per weak component in ``applyInPandas`` (the walk is inherently
+  sequential per chain, W4)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def street_count(edges: DataFrame, u_col: str = "u",
+                 v_col: str = "v") -> DataFrame:
+    """A6 — undirected incident street segments per node; parallel
+    segments between the same pair deduped; self-loops counted once
+    (graph_export.pyx:12-27, OSMnx street_count parity)."""
+    und = edges.select(
+        F.least(u_col, v_col).alias("a"),
+        F.greatest(u_col, v_col).alias("b"),
+    ).distinct()
+    ends = und.select(F.col("a").alias("node")).unionAll(
+        und.filter(F.col("a") != F.col("b")).select(F.col("b").alias("node"))
+    )
+    return ends.groupBy("node").agg(F.count("*").alias("street_count"))
+
+
+def degrees(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
+    """A5 — in/out degree + distinct neighbor count per node over a
+    DIRECTED edge list (graph_simplify.py:48-77)."""
+    out_deg = edges.groupBy(F.col(u_col).alias("node")).agg(
+        F.count("*").alias("out_degree"))
+    in_deg = edges.groupBy(F.col(v_col).alias("node")).agg(
+        F.count("*").alias("in_degree"))
+    nbrs = (
+        edges.select(F.col(u_col).alias("node"), F.col(v_col).alias("nbr"))
+        .unionAll(edges.select(F.col(v_col).alias("node"),
+                               F.col(u_col).alias("nbr")))
+        .groupBy("node").agg(F.countDistinct("nbr").alias("n_neighbors"))
+    )
+    return (
+        nbrs.join(out_deg, "node", "left").join(in_deg, "node", "left")
+        .fillna(0, subset=["out_degree", "in_degree"])
+    )
+
+
+def connected_components(edges: DataFrame, u_col: str = "u",
+                         v_col: str = "v", max_iter: int = 50) -> DataFrame:
+    """Weakly-connected components: label propagation to the minimum
+    reachable node id. Each round is one groupBy-min over the edge
+    list; rounds needed ~ graph diameter in doubling steps."""
+    und = (
+        edges.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
+        .unionAll(edges.select(F.col(v_col).alias("a"),
+                               F.col(u_col).alias("b")))
+        .distinct()
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "comp", F.col("node"))
+    for _ in range(max_iter):
+        # candidate label per node = min(own, min over neighbors' labels)
+        nbr_lab = (
+            und.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_lab, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"),
+                        F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # cut the lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def largest_component_edges(edges: DataFrame, u_col: str = "u",
+                            v_col: str = "v",
+                            strongly: bool = False) -> DataFrame:
+    """X3/J11 — keep only edges inside the largest (weakly or strongly)
+    connected component (graph_connectivity.py:76-84)."""
+    comps = (
+        scc_components(edges, u_col, v_col)
+        if strongly else connected_components(edges, u_col, v_col)
+    )
+    biggest = (
+        comps.groupBy("comp").count()
+        .orderBy(F.desc("count"), F.asc("comp")).limit(1)
+        .select("comp")
+    )
+    keep = comps.join(F.broadcast(biggest), "comp").select("node")
+    return (
+        edges.join(keep.withColumnRenamed("node", u_col), u_col, "left_semi")
+        .join(keep.withColumnRenamed("node", v_col), v_col, "left_semi")
+    )
+
+
+def scc_components(edges: DataFrame, u_col: str = "u",
+                   v_col: str = "v") -> DataFrame:
+    """Strongly-connected components, hybrid: weak-CC split first (no
+    SCC crosses a weak component), then exact iterative Tarjan per weak
+    component in applyInPandas. Documented limit: one weak component
+    must fit in one task's memory (true for everything except a
+    planet-scale road network, which would need distributed SCC)."""
+    weak = connected_components(edges, u_col, v_col)
+    e = (
+        edges.select(F.col(u_col).alias("eu"), F.col(v_col).alias("ev"))
+        .join(weak.withColumnRenamed("node", "eu"), "eu")
+        .withColumnRenamed("comp", "wcomp")
+    )
+
+    def per_component(pdf: pd.DataFrame) -> pd.DataFrame:
+        # iterative Tarjan (the reference's nonrecursive formulation,
+        # graph_connectivity.py:15-73 semantics, independent impl)
+        nodes = pd.unique(pd.concat([pdf["eu"], pdf["ev"]]))
+        index = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        adj: list = [[] for _ in range(n)]
+        for a, b in zip(pdf["eu"], pdf["ev"]):
+            adj[index[a]].append(index[b])
+        ids = np.full(n, -1, dtype=np.int64)
+        low = np.zeros(n, dtype=np.int64)
+        on_stack = np.zeros(n, dtype=bool)
+        stack: list = []
+        comp_of = np.full(n, -1, dtype=np.int64)
+        counter = [0]
+        n_comp = [0]
+        for start in range(n):
+            if ids[start] != -1:
+                continue
+            work = [(start, 0)]
+            while work:
+                at, pi = work[-1]
+                if ids[at] == -1:
+                    ids[at] = low[at] = counter[0]
+                    counter[0] += 1
+                    stack.append(at)
+                    on_stack[at] = True
+                recursed = False
+                while pi < len(adj[at]):
+                    to = adj[at][pi]
+                    if ids[to] == -1:
+                        work[-1] = (at, pi + 1)
+                        work.append((to, 0))
+                        recursed = True
+                        break
+                    if on_stack[to]:
+                        low[at] = min(low[at], low[to])
+                    pi += 1
+                if recursed:
+                    continue
+                work.pop()
+                if low[at] == ids[at]:
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        comp_of[w] = n_comp[0]
+                        if w == at:
+                            break
+                    n_comp[0] += 1
+                if work:
+                    parent = work[-1][0]
+                    low[parent] = min(low[parent], low[at])
+        # canonical scc label: min node id in the scc (globally unique
+        # because node ids are globally unique)
+        out = pd.DataFrame({"node": nodes, "scc_local": comp_of[
+            [index[x] for x in nodes]]})
+        canon = out.groupby("scc_local")["node"].transform("min")
+        return pd.DataFrame({"node": nodes, "comp": canon})
+
+    return e.groupBy("wcomp").applyInPandas(
+        per_component, schema="node long, comp long")
+
+
+# --------------------------------------------------------------------------
+# Topological simplification (X2)
+# --------------------------------------------------------------------------
+
+def simplify_chains(edges: DataFrame, u_col: str = "u", v_col: str = "v",
+                    length_col: str = "length",
+                    way_col: str = "id") -> DataFrame:
+    """Collapse degree-2 pass-through chains in an UNDIRECTED segment
+    graph; every chain becomes one row (endpoint_u, endpoint_v, summed
+    length, segment count, way-id set).
+
+    Endpoint rules (graph_simplify.py:60-97 subset): a node is an
+    endpoint when its undirected distinct-neighbor degree != 2, or it
+    has a self-loop. The per-chain walk (W4, inherently sequential) runs
+    inside applyInPandas per weak component; attribute merge = the
+    collect_set analogue of A8."""
+    seg = edges.select(
+        F.col(way_col).alias("wid"),
+        F.col(u_col).alias("su"), F.col(v_col).alias("sv"),
+        F.col(length_col).alias("slen"),
+    )
+    weak = connected_components(seg, "su", "sv")
+    seg = seg.join(weak.withColumnRenamed("node", "su"), "su").withColumnRenamed(
+        "comp", "wcomp")
+
+    def per_component(pdf: pd.DataFrame) -> pd.DataFrame:
+        # undirected adjacency with segment payloads
+        adj: dict = {}
+        for i, (a, b) in enumerate(zip(pdf["su"], pdf["sv"])):
+            adj.setdefault(a, []).append((b, i))
+            adj.setdefault(b, []).append((a, i))
+        def is_endpoint(n):
+            nbrs = {x for x, _ in adj[n]}
+            return len(nbrs) != 2 or n in nbrs
+        endpoints = {n for n in adj if is_endpoint(n)}
+        used = np.zeros(len(pdf), dtype=bool)
+        lens = pdf["slen"].to_numpy()
+        wids = pdf["wid"].to_numpy()
+        rows = []
+
+        def walk(start, nbr, seg_i):
+            """Consume segments from an endpoint until the next endpoint."""
+            total, count, ways = 0.0, 0, set()
+            cur, prev = nbr, start
+            total += lens[seg_i]; count += 1; ways.add(int(wids[seg_i]))
+            used[seg_i] = True
+            while cur not in endpoints:
+                nxt = [(x, i) for x, i in adj[cur] if not used[i]]
+                if not nxt:
+                    break
+                x, i = nxt[0]
+                used[i] = True
+                total += lens[i]; count += 1; ways.add(int(wids[i]))
+                prev, cur = cur, x
+            return cur, total, count, ways
+
+        for ep in sorted(endpoints):
+            for nbr, seg_i in sorted(adj[ep], key=lambda t: (t[0], t[1])):
+                if used[seg_i]:
+                    continue
+                end, total, count, ways = walk(ep, nbr, seg_i)
+                rows.append((ep, end, round(total, 3), count,
+                             sorted(ways)))
+        # pure rings (no endpoint at all): walk from the min node
+        remaining = np.nonzero(~used)[0]
+        if len(remaining):
+            ring_nodes = sorted(
+                {pdf["su"].iloc[i] for i in remaining}
+                | {pdf["sv"].iloc[i] for i in remaining}
+            )
+            for start in ring_nodes:
+                nxt = [(x, i) for x, i in adj.get(start, []) if not used[i]]
+                if not nxt:
+                    continue
+                x, i = nxt[0]
+                used[i] = True
+                total, count, ways = lens[i], 1, {int(wids[i])}
+                cur = x
+                while cur != start:
+                    nn = [(y, j) for y, j in adj[cur] if not used[j]]
+                    if not nn:
+                        break
+                    y, j = nn[0]
+                    used[j] = True
+                    total += lens[j]; count += 1; ways.add(int(wids[j]))
+                    cur = y
+                rows.append((start, cur, round(total, 3), count,
+                             sorted(ways)))
+        return pd.DataFrame(rows, columns=["u", "v", "length", "n_segments",
+                                           "way_ids"])
+
+    return seg.groupBy("wcomp").applyInPandas(
+        per_component,
+        schema="u long, v long, length double, n_segments int, "
+               "way_ids array<long>",
+    )

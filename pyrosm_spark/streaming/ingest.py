@@ -1,0 +1,121 @@
+"""Structured Streaming ingestion paths.
+
+The reference is batch-only (SURVEY.md §2.10); its decode->spill->
+collect pipeline is a one-shot map/shuffle/reduce and its result cache
+plays the incremental role. Streaming here is therefore an *extension*:
+the same tile-assignment and windowed-aggregation operators applied to
+an unbounded source (file stream locally; Kafka on a real cluster) —
+useful for continuous image ingest feeding the tiling layer.
+
+Every transformation below reuses the exact batch Column expressions
+(tiles.cell_id, event aggregations), so batch/stream parity is by
+construction, and each is covered by a memory-sink test that compares
+against the batch run of the same input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyrosm_spark.functions import tiles
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+IMAGES_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("caption", T.StringType()),
+    T.StructField("phash", T.LongType()),
+    T.StructField("lon", T.DoubleType()),
+    T.StructField("lat", T.DoubleType()),
+])
+
+
+def _file_stream(spark, schema, path: str, max_files_per_trigger: int):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    if os.path.isfile(path):
+        # FileStreamSource requires a DIRECTORY source (it re-passes the
+        # load path as the batch reader's basePath) — stage single files
+        # into a content-addressed temp dir once.
+        st = os.stat(path)
+        key = hashlib.sha1(
+            f"{path}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
+        stage_dir = os.path.join(tempfile.gettempdir(),
+                                 f"pyrosm_spark_stream_{key}")
+        dst = os.path.join(stage_dir, os.path.basename(path))
+        if not os.path.exists(dst):
+            os.makedirs(stage_dir, exist_ok=True)
+            shutil.copy2(path, dst + ".tmp")
+            os.rename(dst + ".tmp", dst)
+        path = stage_dir
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 4) -> DataFrame:
+    return _file_stream(spark, EVENTS_SCHEMA, path, max_files_per_trigger)
+
+
+def read_images_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 4) -> DataFrame:
+    return _file_stream(spark, IMAGES_SCHEMA, path, max_files_per_trigger)
+
+
+def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregation (late rows beyond the
+    watermark are dropped) — works identically on batch DataFrames."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming \
+        else events
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type", "n", "v",
+        )
+    )
+
+
+def streaming_tile_assignment(images: DataFrame, res: int = 15) -> DataFrame:
+    """Stateless per-row tile assignment — identical Column expr as the
+    batch path (spatial_join.assign_tiles), so a streaming ingest keyed
+    by cell can feed a cell-partitioned sink directly."""
+    return images.select(
+        "image_id",
+        tiles.cell_id(F.col("lon"), F.col("lat"), res).alias("cell"),
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "complete"):
+    """Drive a streaming query to completion over the currently-present
+    files (test/dev harness): memory sink + processAllAvailable."""
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

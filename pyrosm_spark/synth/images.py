@@ -20,6 +20,7 @@ scale) to keep generation O(seconds) at millions of rows.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import numpy as np
@@ -88,6 +89,14 @@ def generate_images_table(
     phashes = np.zeros(n_rows, dtype=np.int64)
     for i in range(n_rows):
         if i % bytes_every != 0:
+            # metadata-only row: no payload, but phash must still be a
+            # realistic distinct value — a constant placeholder would
+            # create one giant hamming-band bucket (quadratic blowup in
+            # phash_pairs; found the hard way at bench scale)
+            h = int.from_bytes(
+                hashlib.md5(image_ids[i].encode()).digest()[:8], "big"
+            )
+            phashes[i] = h - (1 << 64) if h >= 1 << 63 else h
             blobs.append(None)
             continue
         px = synth_pixels(seed * 1_000_003 + i, int(widths[i]), int(heights[i]))

@@ -1,0 +1,109 @@
+"""Graph operators vs pure-python oracles (no graph libs in container)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyrosm_spark.operators.graph import (
+    connected_components,
+    degrees,
+    largest_component_edges,
+    scc_components,
+    simplify_chains,
+    street_count,
+)
+
+
+@pytest.fixture(scope="module")
+def toy_edges(spark):
+    # two weak components; left one has a directed cycle 1->2->3->1 and
+    # a tail 3->4->5; right one is a simple path 10->11->12
+    rows = [
+        (100, 1, 2, 10.0), (101, 2, 3, 10.0), (102, 3, 1, 10.0),
+        (103, 3, 4, 5.0), (104, 4, 5, 5.0),
+        (200, 10, 11, 7.0), (201, 11, 12, 7.0),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, u long, v long, length double")
+
+
+def test_street_count(spark, toy_edges):
+    got = {r["node"]: r["street_count"]
+           for r in street_count(toy_edges).collect()}
+    # undirected distinct segments: 1-2,2-3,1-3,3-4,4-5,10-11,11-12
+    assert got == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1, 10: 1, 11: 2, 12: 1}
+
+
+def test_street_count_self_loop_once(spark):
+    e = spark.createDataFrame([(1, 7, 7, 1.0), (2, 7, 8, 1.0)],
+                              "id long, u long, v long, length double")
+    got = {r["node"]: r["street_count"] for r in street_count(e).collect()}
+    assert got == {7: 2, 8: 1}  # self-loop counted once at node 7
+
+
+def test_degrees(spark, toy_edges):
+    got = {r["node"]: (r["in_degree"], r["out_degree"], r["n_neighbors"])
+           for r in degrees(toy_edges).collect()}
+    assert got[3] == (1, 2, 3)  # in from 2; out to 1 and 4
+    assert got[1] == (1, 1, 2)
+    assert got[5] == (1, 0, 1)
+
+
+def test_connected_components(spark, toy_edges):
+    got = {r["node"]: r["comp"]
+           for r in connected_components(toy_edges).collect()}
+    left = {got[n] for n in (1, 2, 3, 4, 5)}
+    right = {got[n] for n in (10, 11, 12)}
+    assert left == {1} and right == {10}
+
+
+def test_scc(spark, toy_edges):
+    got = {r["node"]: r["comp"] for r in scc_components(toy_edges).collect()}
+    # cycle 1-2-3 is one SCC; 4, 5, 10, 11, 12 are singletons
+    assert got[1] == got[2] == got[3] == 1
+    assert len({got[4], got[5], got[10], got[11], got[12]}) == 5
+
+
+def test_largest_component_weak_and_strong(spark, toy_edges):
+    weak = largest_component_edges(toy_edges)
+    assert {r["id"] for r in weak.select("id").collect()} == {
+        100, 101, 102, 103, 104}
+    strong = largest_component_edges(toy_edges, strongly=True)
+    # largest SCC = {1,2,3}: only edges with both ends inside it survive
+    assert {r["id"] for r in strong.select("id").collect()} == {100, 101, 102}
+
+
+def test_simplify_chains_path_and_ring(spark):
+    # chain a-b-c-d (b, c degree 2) + separate pure ring x-y-z-x
+    rows = [
+        (1, 1, 2, 1.0), (2, 2, 3, 2.0), (3, 3, 4, 3.0),
+        (4, 20, 21, 1.0), (5, 21, 22, 1.0), (6, 22, 20, 1.0),
+    ]
+    e = spark.createDataFrame(rows, "id long, u long, v long, length double")
+    out = simplify_chains(e).collect()
+    chains = {(r["u"], r["v"]): r for r in out}
+    # path collapses into one chain 1->4 of length 6 and 3 segments
+    key = (1, 4) if (1, 4) in chains else (4, 1)
+    assert key in chains
+    assert chains[key]["length"] == 6.0
+    assert chains[key]["n_segments"] == 3
+    assert sorted(chains[key]["way_ids"]) == [1, 2, 3]
+    # ring with no endpoints collapses into one closed chain len 3
+    ring = [r for r in out if r["n_segments"] == 3 and r["length"] == 3.0]
+    assert len(ring) == 1 and ring[0]["u"] == ring[0]["v"] == 20
+
+
+def test_simplify_on_network(spark, synth_dir):
+    """Chain collapse on the real synthetic driving network preserves
+    total length and reduces edge count."""
+    from pyrosm_spark.operators.network import get_network
+    from pyrosm_spark.operators.osm_source import load_osm
+
+    nodes, ways, _ = load_osm(spark, synth_dir)
+    _, edges = get_network(nodes, ways, "driving", with_nodes=True)
+    seg_total = edges.agg(F.sum("length")).collect()[0][0]
+    seg_count = edges.count()
+    simp = simplify_chains(edges)
+    simp_total = simp.agg(F.sum("length")).collect()[0][0]
+    assert simp.count() < seg_count
+    assert simp_total == pytest.approx(seg_total, rel=1e-6)
