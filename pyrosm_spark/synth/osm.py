@@ -469,11 +469,70 @@ def generate_osm_tables(out_dir: str, grid: int = 16, seed: int = 42) -> dict:
     }
 
 
+def generate_history_table(out_dir: str, n_ids: int = 200,
+                           seed: int = 42) -> str:
+    """``osm_nodes_history`` — multiple versions per node id, exercising
+    latest-at-or-before-t selection with PER-COLUMN last-non-null
+    semantics (FIXTURES.md §5; reference ``data_filter.pyx:340-343``,
+    ``pyrosm.py:206-213``) and deleted-version drops
+    (``pbfreader.pyx:528-542``):
+
+    * tags appear in one version and vanish in later ones (a non-null
+      value must survive from the older version)
+    * some ids end with a visible=false tombstone
+    """
+    rng = np.random.default_rng(seed + 99)
+    rows = []  # (id, lon, lat, tags, version, changeset, ts, visible)
+    for i in range(1, n_ids + 1):
+        n_ver = int(rng.integers(1, 6))
+        lon = float(rng.uniform(LON_MIN, LON_MAX))
+        lat = float(rng.uniform(LAT_MIN, LAT_MAX))
+        for v in range(1, n_ver + 1):
+            tags = {}
+            if v == 1 and i % 3 == 0:
+                tags["name"] = f"Old name {i}"       # vanishes later
+            if v == 2 and i % 4 == 0:
+                tags["amenity"] = AMENITIES[i % len(AMENITIES)]
+            if v == n_ver and i % 5 == 0:
+                tags["name"] = f"Final name {i}"     # overrides v1 name
+            visible = not (v == n_ver and i % 7 == 0)  # tombstones
+            rows.append((
+                i,
+                lon + 0.0001 * v,
+                lat + 0.00005 * v,
+                tags,
+                v,
+                1_000_000 + i * 10 + v,
+                _TS0 + i * 1000 + v * 100,
+                visible,
+            ))
+    os.makedirs(out_dir, exist_ok=True)
+    cols = {
+        "id": pa.array([r[0] for r in rows], pa.int64()),
+        "lon": pa.array([r[1] for r in rows], pa.float64()),
+        "lat": pa.array([r[2] for r in rows], pa.float64()),
+        "tags": pa.array([list(r[3].items()) for r in rows],
+                         pa.map_(pa.string(), pa.string())),
+        "name": pa.array([r[3].get("name") for r in rows], pa.string()),
+        "amenity": pa.array([r[3].get("amenity") for r in rows], pa.string()),
+        "version": pa.array([r[4] for r in rows], pa.int32()),
+        "changeset": pa.array([r[5] for r in rows], pa.int64()),
+        "timestamp": pa.array([r[6] for r in rows], pa.int64()),
+        "visible": pa.array([r[7] for r in rows], pa.bool_()),
+    }
+    path = os.path.join(out_dir, "osm_nodes_history.parquet")
+    pq.write_table(pa.table(cols), path)
+    return path
+
+
 def ensure_osm_tables(out_dir: str, grid: int = 16, seed: int = 42) -> dict:
     paths = {
         name: os.path.join(out_dir, f"{name}.parquet")
-        for name in ("osm_nodes", "osm_ways", "osm_relations")
+        for name in ("osm_nodes", "osm_ways", "osm_relations",
+                     "osm_nodes_history")
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
-    return generate_osm_tables(out_dir, grid=grid, seed=seed)
+    out = generate_osm_tables(out_dir, grid=grid, seed=seed)
+    out["osm_nodes_history"] = generate_history_table(out_dir, seed=seed)
+    return out
