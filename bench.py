@@ -39,7 +39,7 @@ def ensure_bench_data(sf: float) -> str:
     from pyrosm_spark.synth import ensure_images_table, ensure_osm_tables
 
     out = os.path.join(REPO, "data", f"bench_sf{sf}")
-    n_images = max(int(4_000_000 * sf), 20_000)
+    n_images = max(int(20_000_000 * sf), 40_000)
     grid = max(int(64 * (sf / 0.1) ** 0.5), 24)
     ensure_osm_tables(out, grid=grid, seed=42)
     ensure_images_table(
@@ -47,6 +47,7 @@ def ensure_bench_data(sf: float) -> str:
         n_rows=n_images,
         seed=42,
         bytes_every=max(n_images // 10_000, 1),
+        rows_per_file=25_000,  # multi-file: scan parallelism
     )
     return out
 
@@ -71,8 +72,18 @@ def main():
     )
     from pyrosm_spark.session import get_spark
 
-    spark = get_spark("bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 8))
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+        extra_conf={
+            # CPU-heavy rows, small bytes: without these, one 30 MB scan
+            # becomes 1 input split and AQE coalesces shuffles to 1-2
+            # partitions — parallelism evaporates regardless of cores
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+                str(1024 * 1024),
+        },
+    )
 
     images = spark.read.parquet(os.path.join(bench_dir, "images.parquet"))
     nodes, ways, rels = load_osm(spark, bench_dir)
@@ -83,6 +94,11 @@ def main():
     polygons = get_buildings(nodes, ways, rels).select(
         "id", "osm_type", "geometry").cache()
     n_polys = polygons.count()  # materialize outside the timed window
+
+    # warmup: exercise scan + shuffle + Arrow paths once so the first
+    # timed query doesn't pay JVM/JIT/Python-worker startup
+    assign_tiles(images, 12).groupBy("cell").count().count()
+    point_in_polygon_join(images.limit(20_000), polygons, res=15).count()
 
     timings: dict = {}
 
@@ -100,16 +116,19 @@ def main():
     # kNN over POI nodes
     pois = nodes.filter(F.map_contains_key("tags", "amenity")).select(
         "id", "lon", "lat")
+    knn_sample = images.select("image_id", "lon", "lat").filter(
+        F.pmod(F.xxhash64("image_id"), F.lit(4)) == 0)
     n_knn = bench("q_knn", lambda: knn_join(
-        images.select("image_id", "lon", "lat"), pois, k=3, res=12, ring=1
-    ).count())
+        knn_sample, pois, k=3, res=14, ring=1).count())
 
     # engine queries ------------------------------------------------------
     n_edges = bench("q_network_driving", lambda: get_network(
         nodes, ways, "driving").count())
     bench("q_buildings", lambda: polygons.count())
-    n_lsh = bench("q_minhash_lsh", lambda: minhash_lsh_pairs(docs).count())
-    n_ph = bench("q_phash_pairs", lambda: phash_pairs(images).count())
+    n_lsh = bench("q_minhash_lsh", lambda: minhash_lsh_pairs(
+        docs, n_blocks=4).count())
+    n_ph = bench("q_phash_pairs", lambda: phash_pairs(
+        images, n_blocks=8).count())
     n_dec = bench("q_decode_features", lambda: decode_features(
         images, sample_ratio=1.0).filter("ok").count())
 

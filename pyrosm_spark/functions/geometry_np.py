@@ -290,6 +290,84 @@ def assemble_multipolygon(member_lines: list):
 
 
 # --------------------------------------------------------------------------
+# Exact geometry-vs-rectangle intersection (J10/F12 final bbox refine)
+# --------------------------------------------------------------------------
+
+def _segments_intersect_rect(coords: np.ndarray, rect) -> bool:
+    """Any polyline segment intersects the axis-aligned rect (vectorized
+    Cohen-Sutherland outcode test + exact segment/edge checks)."""
+    xmin, ymin, xmax, ymax = rect
+    x, y = coords[:, 0], coords[:, 1]
+    inside = (x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax)
+    if inside.any():
+        return True
+    # outcodes per vertex
+    code = (
+        (x < xmin).astype(np.int8)
+        | ((x > xmax).astype(np.int8) << 1)
+        | ((y < ymin).astype(np.int8) << 2)
+        | ((y > ymax).astype(np.int8) << 3)
+    )
+    a, b = code[:-1], code[1:]
+    # segments trivially outside (share an outside halfplane) can't cross
+    candidates = np.nonzero((a & b) == 0)[0]
+    for i in candidates:
+        if _segment_crosses_rect(coords[i], coords[i + 1], rect):
+            return True
+    return False
+
+
+def _segment_crosses_rect(p, q, rect) -> bool:
+    xmin, ymin, xmax, ymax = rect
+    # Liang-Barsky clip
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    t0, t1 = 0.0, 1.0
+    for num, den in (
+        (xmin - p[0], dx), (p[0] - xmax, -dx),
+        (ymin - p[1], dy), (p[1] - ymax, -dy),
+    ):
+        if den == 0:
+            if num > 0:
+                return False
+            continue
+        t = num / den
+        if den > 0:
+            t0 = max(t0, t)
+        else:
+            t1 = min(t1, t)
+        if t0 > t1:
+            return False
+    return True
+
+
+def geometry_intersects_rect(wkb: bytes, rect) -> bool:
+    """Exact geometry ∩ rect — the reference's final bbox spatial join
+    (frames.pyx:231-241 does gpd.sjoin intersects vs the bbox polygon)."""
+    gtype, payload = parse_wkb(wkb)
+    xmin, ymin, xmax, ymax = rect
+    if gtype == WKB_POINT:
+        x, y = payload
+        return xmin <= x <= xmax and ymin <= y <= ymax
+    if gtype == WKB_LINESTRING:
+        return _segments_intersect_rect(payload, rect)
+    if gtype == WKB_MULTILINESTRING:
+        return any(_segments_intersect_rect(c, rect) for c in payload)
+    if gtype in (WKB_POLYGON, WKB_MULTIPOLYGON):
+        ring_sets = [payload] if gtype == WKB_POLYGON else payload
+        for rings in ring_sets:
+            if any(_segments_intersect_rect(r, rect) for r in rings):
+                return True
+            # rect fully inside the polygon (no boundary crossing):
+            # test one rect corner against the ring set
+            if points_in_polygon(
+                np.array([xmin]), np.array([ymin]), rings
+            )[0]:
+                return True
+        return False
+    raise ValueError(f"unsupported WKB type {gtype}")
+
+
+# --------------------------------------------------------------------------
 # numpy haversine (oracle/tests; the engine uses the SQL form)
 # --------------------------------------------------------------------------
 

@@ -34,6 +34,17 @@ LSH_ROWS = 4  # N_HASHES = LSH_BANDS * LSH_ROWS
 SHINGLE_N = 3
 
 
+def _ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Small files arrive as 1-2 input splits; CPU-heavy per-row work
+    (shingling, hashing) then runs in one task no matter how many cores
+    exist. One cheap row-level shuffle on the id unlocks the cluster.
+    No-op when the scan is already wide."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, key)
+
+
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -69,10 +80,9 @@ def exact_dedup_sql(table: str = "documents") -> str:
 # Shingles (shared by jaccard + minhash)
 # --------------------------------------------------------------------------
 
-def shingles_col(text, n: int = SHINGLE_N):
-    """Distinct word n-grams; docs with < n tokens contribute their full
-    token join as the single shingle."""
-    toks = tokens_col(text)
+def shingles_from_tokens(toks, n: int = SHINGLE_N):
+    """Distinct word n-grams from a token-array COLUMN; docs with < n
+    tokens contribute their full token join as the single shingle."""
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
@@ -81,6 +91,46 @@ def shingles_col(text, n: int = SHINGLE_N):
     return F.array_distinct(
         F.when(F.size(toks) >= n, grams).otherwise(whole)
     )
+
+
+def shingles_col(text, n: int = SHINGLE_N):
+    return shingles_from_tokens(tokens_col(text), n)
+
+
+def _shingle_rows(docs: DataFrame, text_col: str, id_col: str,
+                  n: int = SHINGLE_N, distinct: bool = True) -> DataFrame:
+    """(doc, shingle) exploded rows, performance-shaped:
+
+    1. tokenize in its own projection, THEN exchange — so the gram
+       expressions reference a materialized token array instead of
+       re-running split+regex per gram, and single-split input files
+       gain parallelism;
+    2. grams via native arrays_zip over shifted slices — zero lambda
+       higher-order functions, so the whole pipeline stays in
+       whole-stage codegen (the F.transform formulation measured ~3x
+       slower: interpreted eval per gram);
+    3. ``distinct`` dedupes the per-doc shingle SET (needed by jaccard;
+       minhash minima are duplicate-insensitive and may skip it).
+    """
+    nshuf = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                           "32"))
+    toks = docs.select(F.col(id_col).alias("doc"),
+                       tokens_col(F.col(text_col)).alias("_toks"))
+    toks = toks.repartition(nshuf, "doc")
+    t = F.col("_toks")
+    g = F.size(t) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(t, i + 1, g).alias(f"w{i}") for i in range(n)])
+    grams = (
+        toks.filter(F.size(t) >= n)
+        .select("doc", F.explode(zipped).alias("_g"))
+        .select("doc", F.concat_ws(
+            " ", *[F.col(f"_g.w{i}") for i in range(n)]).alias("shingle"))
+    )
+    small = toks.filter((F.size(t) < n) & (F.size(t) > 0)).select(
+        "doc", F.array_join(t, " ").alias("shingle"))
+    sh = grams.unionAll(small)
+    return sh.dropDuplicates(["doc", "shingle"]) if distinct else sh
 
 
 def shingles_sql(text: str, n: int = SHINGLE_N) -> str:
@@ -106,10 +156,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     """All pairs with shingle-set Jaccard >= threshold, via an inverted
     shingle index (explode -> self-join on shingle -> pair count).
     Shuffles on shingle then on pair — no cross join anywhere."""
-    sh = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
-    )
+    sh = _shingle_rows(docs, text_col, id_col, n)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -157,6 +204,74 @@ def ngram_jaccard_sql(table: str = "documents", threshold: float = 0.5,
 
 
 # --------------------------------------------------------------------------
+# Skew-blocked banded self-join (shared by LSH / SimHash / phash pairs)
+# --------------------------------------------------------------------------
+
+def banded_self_pairs(
+    banded: DataFrame,
+    band_cols: list,
+    id_col: str,
+    n_blocks: int = 1,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Enumerate unordered within-bucket pairs of a banded table.
+
+    A single dense bucket makes the naive self-join quadratic IN ONE
+    TASK (observed: one 2.7k-row band bucket serializing the whole
+    stage). With ``n_blocks`` = S, rows are hashed into S chunks and the
+    bucket's pair space is enumerated as S*(S+1)/2 independent join
+    blocks — same pair set, parallelism S^2/2 per hot bucket, left side
+    replicated (S+1)/2 times. This is the salted-self-join skew pattern
+    of the north rule applied to dedup.
+    Returns columns id_a, id_b (+ a_<c>/b_<c> for extra_cols).
+    """
+    sel_a = [F.col(f"a.{id_col}").alias("id_a")] + [
+        F.col(f"a.{c}").alias(f"a_{c}") for c in extra_cols]
+    sel_b = [F.col(f"b.{id_col}").alias("id_b")] + [
+        F.col(f"b.{c}").alias(f"b_{c}") for c in extra_cols]
+    # A self-join re-executes the (expensive) banding subtree once per
+    # side — and block replication amplifies it further. Materialize the
+    # banded table once; it is tiny relative to its lineage (one row per
+    # (id, band)).
+    shuffle_n = int(banded.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    banded = banded.repartition(shuffle_n).localCheckpoint()
+    if n_blocks <= 1:
+        a, b = banded.alias("a"), banded.alias("b")
+        cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        for c in band_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return a.join(b, cond).select(*sel_a, *sel_b).distinct()
+
+    chunk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    left = banded.withColumn("_ca", chunk).withColumn(
+        "_cb", F.explode(F.sequence(F.col("_ca"), F.lit(n_blocks - 1))))
+    right = banded.withColumn("_cb", chunk)
+    a, b = left.alias("a"), right.alias("b")
+    cond = F.col("a._cb") == F.col("b._cb")
+    for c in band_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # each unordered pair exactly once: cross-chunk pairs ordered by
+    # chunk, same-chunk pairs by id
+    cond = cond & (
+        (F.col("a._ca") < F.col("b._cb"))
+        | ((F.col("a._ca") == F.col("b._cb"))
+           & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    )
+    pairs = a.join(b, cond).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        *[F.when(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                 F.col(f"a.{c}")).otherwise(F.col(f"b.{c}")).alias(f"a_{c}")
+          for c in extra_cols],
+        *[F.when(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                 F.col(f"b.{c}")).otherwise(F.col(f"a.{c}")).alias(f"b_{c}")
+          for c in extra_cols],
+    )
+    return pairs.distinct()
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
@@ -176,10 +291,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     is the md5-derived 30-bit int (products stay < 2^60: no overflow).
     One explode + one groupBy with N_HASHES min() aggregates.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles_col(F.col(text_col))).alias("shingle"),
-    ).withColumn("x", _shingle_int_col(F.col("shingle")))
+    sh = _shingle_rows(docs, text_col, id_col, distinct=False).withColumn(
+        "x", _shingle_int_col(F.col("shingle")))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("x") + F.lit(MINHASH_B[i]))
               % MINHASH_P).alias(f"h{i}")
@@ -204,10 +317,12 @@ def minhash_signature_sql(table: str = "documents") -> str:
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      n_blocks: int = 1) -> DataFrame:
     """LSH candidate pairs: signatures banded (LSH_BANDS x LSH_ROWS);
     docs sharing any band-hash become a candidate pair. The band join is
-    an equi-join on (band, band_key) — per-bucket work only."""
+    an equi-join on (band, band_key); ``n_blocks`` > 1 engages the
+    skew-blocked self-join for dense buckets (identical pair set)."""
     sig = minhash_signatures(docs, text_col, id_col)
     bands = []
     for b in range(LSH_BANDS):
@@ -218,14 +333,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         "doc", F.explode(F.array(*bands)).alias("bk")
     ).select("doc", F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
-    a, b2 = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b2, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
+    pairs = banded_self_pairs(banded, ["band", "key"], "doc", n_blocks)
+    return pairs.select(F.col("id_a").alias("doc_a"),
+                        F.col("id_b").alias("doc_b")).distinct()
 
 
 def minhash_lsh_pairs_sql(table: str = "documents") -> str:
@@ -280,11 +390,13 @@ def simhash64(text: pd.Series) -> pd.Series:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n_blocks: int = 1) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded on 16-bit
-    chunks (any pair within hamming<=3*16 shares >=1 identical chunk for
-    d<=... standard pigeonhole: d <= 3 guarantees a shared 16-bit band
-    of 4). Band equi-join + native bit_count(xor) refine."""
+    chunks (pigeonhole-complete for d <= 3 with 4 bands; a recall/cost
+    dial above). Band equi-join + native bit_count(xor) refine; dense
+    buckets parallelize via the skew-blocked self-join."""
+    docs = _ensure_parallelism(docs, id_col)
     sh = docs.select(F.col(id_col).alias("doc"),
                      simhash64(F.col(text_col)).alias("sim"))
     bands = F.array(*[
@@ -295,14 +407,13 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
     ])
     banded = sh.select("doc", "sim", F.explode(bands).alias("bk")).select(
         "doc", "sim", "bk.band", "bk.key")
-    a, b = banded.alias("a"), banded.alias("b")
+    pairs = banded_self_pairs(banded, ["band", "key"], "doc", n_blocks,
+                              extra_cols=("sim",))
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
-                F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
-                .alias("hamming"))
+        pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+            F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+            .alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
@@ -362,10 +473,12 @@ def embedding_cosine_sql(table: str = "embeddings",
 
 def phash_pairs(images: DataFrame, max_hamming: int = 6,
                 id_col: str = "image_id",
-                phash_col: str = "phash") -> DataFrame:
+                phash_col: str = "phash",
+                n_blocks: int = 1) -> DataFrame:
     """Near-duplicate images by perceptual-hash hamming distance,
     16-bit-band blocked (pigeonhole-complete for max_hamming <= 3; a
-    recall/cost dial above that)."""
+    recall/cost dial above that). Dense band buckets (visually similar
+    image clusters) parallelize via the skew-blocked self-join."""
     base = images.select(F.col(id_col).alias("img"),
                          F.col(phash_col).alias("ph"))
     bands = F.array(*[
@@ -376,14 +489,13 @@ def phash_pairs(images: DataFrame, max_hamming: int = 6,
     ])
     banded = base.select("img", "ph", F.explode(bands).alias("bk")).select(
         "img", "ph", "bk.band", "bk.key")
-    a, b = banded.alias("a"), banded.alias("b")
+    pairs = banded_self_pairs(banded, ["band", "key"], "img", n_blocks,
+                              extra_cols=("ph",))
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.img") < F.col("b.img")))
-        .select(F.col("a.img").alias("img_a"), F.col("b.img").alias("img_b"),
-                F.bit_count(F.col("a.ph").bitwiseXOR(F.col("b.ph")))
-                .alias("hamming"))
+        pairs.select(
+            F.col("id_a").alias("img_a"), F.col("id_b").alias("img_b"),
+            F.bit_count(F.col("a_ph").bitwiseXOR(F.col("b_ph")))
+            .alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -100,6 +100,24 @@ def relation_geometry_wkb(
     return pd.Series(out)
 
 
+def straddling_relation_count(relations: DataFrame, ways: DataFrame) -> DataFrame:
+    """A9 — diagnostic: relations with some-but-not-all member ways
+    present in the way table (frames.pyx:142-160 warning). One exploded
+    join + a grouped HAVING."""
+    m = relation_member_ways(relations)
+    present = ways.select(F.col("id").alias("way_id")).withColumn(
+        "_present", F.lit(1))
+    per_rel = (
+        m.join(present, "way_id", "left")
+        .groupBy("rel_id")
+        .agg(F.count("*").alias("n_members"),
+             F.sum(F.coalesce("_present", F.lit(0))).alias("n_present"))
+    )
+    return per_rel.filter(
+        (F.col("n_present") > 0) & (F.col("n_present") < F.col("n_members"))
+    )
+
+
 def relation_member_ways(relations: DataFrame) -> DataFrame:
     """Explode way members, deduped per relation (relations.pyx:41-42),
     type-qualified so colliding node/relation ids never join (J3;

@@ -195,6 +195,32 @@ def point_in_polygon_join(
     return refined.drop("_salt") if point_salt and point_salt > 1 else refined
 
 
+def bbox_geometry_filter(features: DataFrame, bbox: tuple,
+                         geometry_col: str = "geometry") -> DataFrame:
+    """J10/F12 — exact final bbox refine: keep rows whose GEOMETRY
+    intersects the bbox rectangle (frames.pyx:231-241). Pre-filtered by
+    the cheap bbox-overlap test (native SQL on the bbox struct), exact
+    segment/containment test only on the survivors."""
+    xmin, ymin, xmax, ymax = bbox
+    if "bbox" not in features.columns:
+        features = features.withColumn("bbox", wkb_bbox(F.col(geometry_col)))
+    overlap = (
+        (F.col("bbox.xmin") <= xmax) & (F.col("bbox.xmax") >= xmin)
+        & (F.col("bbox.ymin") <= ymax) & (F.col("bbox.ymax") >= ymin)
+    )
+    pre = features.filter(overlap)
+
+    @F.pandas_udf(T.BooleanType())
+    def exact(geometry: pd.Series) -> pd.Series:
+        return pd.Series([
+            G.geometry_intersects_rect(bytes(buf), (xmin, ymin, xmax, ymax))
+            if buf is not None else False
+            for buf in geometry
+        ])
+
+    return pre.filter(exact(F.col(geometry_col)))
+
+
 # --------------------------------------------------------------------------
 # Cell-local kNN
 # --------------------------------------------------------------------------

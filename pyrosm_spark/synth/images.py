@@ -71,7 +71,8 @@ def generate_images_table(
     hot_frac: float = 0.3,
     n_hot: int = 4,
     bytes_every: int = 1,
-    row_group_size: int = 200_000,
+    row_group_size: int = 25_000,
+    rows_per_file: int | None = None,
 ) -> str:
     """Write the images parquet; rows where ``i % bytes_every != 0`` carry
     NULL bytes (metadata-only rows) so bench-scale tables stay small while
@@ -124,7 +125,20 @@ def generate_images_table(
         }
     )
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    pq.write_table(table, out_path, row_group_size=row_group_size)
+    if rows_per_file and n_rows > rows_per_file:
+        # multi-file layout: input splits for free (a single big file
+        # caps scan parallelism at its row-group granularity)
+        if os.path.isfile(out_path):
+            os.remove(out_path)
+        os.makedirs(out_path, exist_ok=True)
+        for i in range(0, n_rows, rows_per_file):
+            pq.write_table(
+                table.slice(i, rows_per_file),
+                os.path.join(out_path, f"part-{i // rows_per_file:05d}.parquet"),
+                row_group_size=row_group_size,
+            )
+    else:
+        pq.write_table(table, out_path, row_group_size=row_group_size)
     return out_path
 
 

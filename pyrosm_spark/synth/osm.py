@@ -356,6 +356,13 @@ def _build_relations(w: _World):
         [(outer, "way", "outer"), (outer, "way", "outer"), (inner, "way", "inner")],
         {"type": "multipolygon", "building": "yes", "name": "DupMembers"},
     )
+    # 9b. relation referencing a missing member way (straddling-relation
+    # diagnostic A9, frames.pyx:142-160)
+    r9b = w.ring_way(cx - 0.12, cy - 0.04, 0.006, 0.003, 8, {})
+    w.add_relation(
+        [(r9b, "way", "outer"), (77_777_001, "way", "outer")],
+        {"type": "multipolygon", "building": "yes", "name": "MissingMember"},
+    )
     # 10. bbox-straddling multipolygon: outer ring crosses TEST_BBOX edge
     x0, y0, _, _ = TEST_BBOX
     ws = w.ring_way(x0, y0 + 0.05, 0.02, 0.01, 12, {})

@@ -185,3 +185,19 @@ def test_resize_images_roundtrip(spark, synth_dir):
 def test_frame_sample_stub():
     with pytest.raises(NotImplementedError):
         M.frame_sample(None)
+
+
+def test_blocked_self_join_equals_plain(spark, docs, synth_dir):
+    """Skew-blocked pair enumeration must produce the identical pair set."""
+    import os
+    plain = {(r["doc_a"], r["doc_b"]) for r in
+             D.minhash_lsh_pairs(docs).collect()}
+    blocked = {(r["doc_a"], r["doc_b"]) for r in
+               D.minhash_lsh_pairs(docs, n_blocks=4).collect()}
+    assert plain == blocked and len(plain) > 0
+    images = spark.read.parquet(os.path.join(synth_dir, "images.parquet"))
+    p1 = {(r["img_a"], r["img_b"], r["hamming"]) for r in
+          D.phash_pairs(images, max_hamming=4).collect()}
+    p2 = {(r["img_a"], r["img_b"], r["hamming"]) for r in
+          D.phash_pairs(images, max_hamming=4, n_blocks=8).collect()}
+    assert p1 == p2 and len(p1) > 0

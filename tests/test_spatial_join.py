@@ -174,3 +174,32 @@ def test_hot_cell_detection_and_adaptive_split(spark, images):
     from collections import Counter
     hist1 = Counter(r["cell"] for r in rows)
     assert max(hist1.values()) < max(hist0.values())
+
+
+def test_bbox_geometry_filter_exact(spark, buildings, synth_dir):
+    """J10/F12 exact refine: far-away features drop, straddlers and
+    rect-inside-polygon cases survive."""
+    from pyrosm_spark.operators.spatial_join import bbox_geometry_filter
+    from pyrosm_spark.functions import geometry_np as G
+    import numpy as np
+
+    rows = buildings.collect()
+    # pick one polygon; build a tiny rect strictly inside it
+    for r in rows:
+        t, payload = G.parse_wkb(bytes(r["geometry"]))
+        if t == G.WKB_POLYGON:
+            shell = payload[0]
+            cx, cy = shell[:-1, 0].mean(), shell[:-1, 1].mean()
+            if G.points_in_polygon(np.array([cx]), np.array([cy]), payload)[0]:
+                inner_rect = (cx - 1e-6, cy - 1e-6, cx + 1e-6, cy + 1e-6)
+                pid = r["id"]
+                break
+    kept = bbox_geometry_filter(buildings, inner_rect)
+    ids = {x["id"] for x in kept.select("id").collect()}
+    assert pid in ids
+    # rect far outside the region keeps nothing
+    empty = bbox_geometry_filter(buildings, (0.0, 0.0, 1.0, 1.0))
+    assert empty.count() == 0
+    # whole-region rect keeps everything
+    full = bbox_geometry_filter(buildings, (24.0, 59.0, 26.0, 61.0))
+    assert full.count() == buildings.count()
