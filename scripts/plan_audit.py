@@ -1,0 +1,99 @@
+"""Physical-plan audit: verify the plans are the ones we want.
+
+Checks, per key query:
+* parquet scans carry PushedFilters / pruned ReadSchema where expected
+* small dimension sides broadcast (BroadcastHashJoin)
+* Python only where intended (ArrowEvalPython / MapInPandas nodes are
+  counted; pure-SQL queries must have zero)
+* WholeStageCodegen spans exist
+
+Prints one line per check; exits non-zero on violations.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as em  # noqa: E402
+from pyrosm_spark.session import get_spark  # noqa: E402
+
+FAILS = []
+
+
+def check(name, cond, detail=""):
+    status = "OK  " if cond else "FAIL"
+    print(f"{status} {name} {detail}")
+    if not cond:
+        FAILS.append(name)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def simple_plan(df) -> str:
+    return df._jdf.queryExecution().simpleString()
+
+
+def main():
+    # AQE wraps plans in AdaptiveSparkPlan whose string hides codegen
+    # markers — disable it for the AUDIT session only (engine sessions
+    # keep AQE on).
+    spark = get_spark("plan_audit", master="local[8]", shuffle_partitions=16,
+                      extra_conf={"spark.sql.adaptive.enabled": "false"})
+    sf = "/root/testdata/sf0.01"
+    qs = em.queries()
+
+    # 1. pure-SQL queries: zero Python nodes, codegen present
+    for name in ("network_driving_edges", "tile_assignment", "tile_counts",
+                 "tpch_q1_pricing", "events_hourly", "minhash_signatures",
+                 "exact_dedup", "pip_bbox_join", "knn_images_pois"):
+        df = qs[name](spark, sf)
+        p = plan_of(df)
+        check(f"{name}: no Python in plan",
+              "ArrowEvalPython" not in p and "MapInPandas" not in p
+              and "BatchEvalPython" not in p)
+        # with AQE the executed-plan string shows codegen stages as "*(n)"
+        check(f"{name}: whole-stage codegen", "*(" in p or "WholeStageCodegen" in p)
+
+    # 2. scan pruning: engine loader projects only engine columns
+    from pyrosm_spark.operators.osm_source import load_osm
+    nodes, ways, _ = load_osm(spark, em.SYNTH_DIR)
+    p = plan_of(nodes.select("id", "lon", "lat"))
+    check("node scan: ReadSchema pruned to selected columns",
+          "amenity" not in p.split("ReadSchema")[-1][:400])
+
+    # 3. filter pushdown reaches the parquet scan
+    filt = nodes.filter(F.col("lon").between(24.7, 25.0))
+    p = plan_of(filt)
+    check("bbox filter: PushedFilters on lon",
+          "PushedFilters" in p and "lon" in p.split("PushedFilters")[-1][:200],
+          )
+
+    # 4. broadcast: revenue_by_nation must broadcast nation
+    p = plan_of(qs["revenue_by_nation"](spark, sf))
+    check("revenue_by_nation: BroadcastHashJoin", "BroadcastHashJoin" in p)
+
+    # 5. PIP join: exactly one Arrow node (the refine), join is hash join
+    j = qs["pip_exact_join"](spark, sf)
+    p = plan_of(j)
+    # the pipeline legitimately holds several DIFFERENT Arrow UDFs
+    # (geometry construction, bbox, refine); the refine itself must
+    # appear exactly once
+    check("pip_exact: exactly one PIP refine UDF",
+          p.count("point_in_wkb_polygon") == 1,
+          f"(arrow nodes total: {p.count('ArrowEvalPython')})")
+    check("pip_exact: hash join for cell equi-join",
+          "HashJoin" in p)
+
+    print(f"\n{'ALL OK' if not FAILS else f'{len(FAILS)} FAILURES: {FAILS}'}")
+    sys.exit(1 if FAILS else 0)
+
+
+if __name__ == "__main__":
+    main()
