@@ -1,0 +1,72 @@
+"""Extract-crop: the reference's PBF-crop SELECTION semantics as a
+distributed semi-join cascade.
+
+``pbf_export.pyx:173-248`` selects a consistent element subset for a
+bbox in 3 stages: (1) nodes in bbox, (2) ways referencing >=1 selected
+node — kept COMPLETE, which pulls in their out-of-box nodes, (3)
+relations referencing any selected node or way (J12). The byte-level
+PBF re-writing is out of scope (no PBF I/O in this engine — SURVEY.md
+§7.3); the output is the same consistent (nodes, ways, relations)
+table triple written as parquet, which is this engine's native
+interchange format.
+
+Every stage is a semi-join; the node-closure stage is the union of
+in-box nodes and all refs of kept ways (U2/U3 set algebra).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def crop_tables(
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    bbox: tuple,
+) -> tuple:
+    """Consistent bbox crop -> (nodes, ways, relations) subset.
+
+    * ways: >=1 ref in-box (complete-ways, crop stage 2)
+    * nodes: in-box ∪ all refs of kept ways (closure, so every kept way
+      remains fully resolvable — crop keeps ways complete)
+    * relations: >=1 member that is a kept node or kept way (stage 3)
+    """
+    xmin, ymin, xmax, ymax = bbox
+    in_box_ids = nodes.filter(
+        F.col("lon").between(xmin, xmax) & F.col("lat").between(ymin, ymax)
+    ).select(F.col("id").alias("nid"))
+
+    refs = ways.select(F.col("id").alias("wid"), F.explode("refs").alias("nid"))
+    kept_way_ids = (
+        refs.join(in_box_ids, "nid", "left_semi").select("wid").distinct()
+    )
+    kept_ways = ways.join(
+        kept_way_ids.withColumnRenamed("wid", "id"), "id", "left_semi")
+
+    closure_node_ids = (
+        in_box_ids.unionByName(
+            refs.join(kept_way_ids, "wid", "left_semi").select("nid"))
+        .distinct()
+    )
+    kept_nodes = nodes.join(
+        closure_node_ids.withColumnRenamed("nid", "id"), "id", "left_semi")
+
+    members = (
+        relations.select(F.col("id").alias("rid"),
+                         F.explode("members").alias("m"))
+        .select("rid", F.col("m.member_id").alias("member_id"),
+                F.col("m.member_type").alias("member_type"))
+    )
+    rel_by_node = members.filter(F.col("member_type") == "node").join(
+        closure_node_ids.select(F.col("nid").alias("member_id")),
+        "member_id", "left_semi").select("rid")
+    rel_by_way = members.filter(F.col("member_type") == "way").join(
+        kept_way_ids.select(F.col("wid").alias("member_id")),
+        "member_id", "left_semi").select("rid")
+    kept_rel_ids = rel_by_node.unionByName(rel_by_way).distinct()
+    kept_relations = relations.join(
+        kept_rel_ids.withColumnRenamed("rid", "id"), "id", "left_semi")
+
+    return kept_nodes, kept_ways, kept_relations
