@@ -60,44 +60,89 @@ def degrees(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
 
 
 def connected_components(edges: DataFrame, u_col: str = "u",
-                         v_col: str = "v", max_iter: int = 50) -> DataFrame:
-    """Weakly-connected components: label propagation to the minimum
-    reachable node id. Each round is one groupBy-min over the edge
-    list; rounds needed ~ graph diameter in doubling steps."""
+                         v_col: str = "v",
+                         contraction_rounds: int = 6) -> DataFrame:
+    """Weakly-connected components by graph contraction.
+
+    Naive min-label propagation needs O(diameter) full-shuffle rounds —
+    a street grid's chain diameter made that ~20 s even at toy scale.
+    Instead:
+
+    1. ``contraction_rounds`` cheap neighbor-min rounds coarsen every
+       local neighborhood (each round merges radius-1 balls, so the
+       number of distinct labels drops geometrically);
+    2. contract: the surviving (label_u != label_v) edge pairs form a
+       SUPER-GRAPH orders of magnitude smaller than the input — finish
+       it exactly with driver-side union-find and broadcast the result
+       back over the labels.
+
+    The driver step sees only the contracted graph (for a road network,
+    thousands of labels after 6 rounds of million-node input); at
+    planetary scale raise ``contraction_rounds`` or recurse. This is
+    the standard two-level contraction scheme, all data-side work being
+    plain joins/groupBys.
+    """
     und = (
         edges.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
         .unionAll(edges.select(F.col(v_col).alias("a"),
                                F.col(u_col).alias("b")))
         .distinct()
+        .localCheckpoint()
     )
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "comp", F.col("node"))
-    for _ in range(max_iter):
-        # candidate label per node = min(own, min over neighbors' labels)
+    for _ in range(contraction_rounds):
         nbr_lab = (
             und.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_lab, "node", "left")
             .select(
                 "node",
                 F.least(F.col("comp"),
                         F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
             )
+            .localCheckpoint()
         )
-        new_labels = new_labels.localCheckpoint()  # cut the lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+
+    # contract and finish exactly on the driver
+    lab_a = labels.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+    lab_b = labels.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+    super_edges = (
+        und.join(lab_a, "a").join(lab_b, "b")
+        .filter(F.col("ca") != F.col("cb"))
+        .select("ca", "cb").distinct().collect()
+    )
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in super_edges:
+        ra, rb = find(r["ca"]), find(r["cb"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # map every label to its root, preferring the minimum id
+    roots = {}
+    for r in super_edges:
+        for c in (r["ca"], r["cb"]):
+            roots[c] = find(c)
+    if not roots:
+        return labels
+    spark = edges.sparkSession
+    mapping = spark.createDataFrame(
+        [(k, v) for k, v in roots.items()], "comp long, root long")
+    return (
+        labels.join(F.broadcast(mapping), "comp", "left")
+        .select("node", F.coalesce("root", "comp").alias("comp"))
+    )
 
 
 def largest_component_edges(edges: DataFrame, u_col: str = "u",
