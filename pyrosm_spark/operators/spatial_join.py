@@ -189,6 +189,13 @@ def point_in_polygon_join(
     right = F.broadcast(cover) if broadcast_polygons else cover
     cand = pts.join(right, keys, "inner")
     geo = "poly_geometry" if "poly_geometry" in cand.columns else "geometry"
+    bbox = "poly_bbox" if "poly_bbox" in cand.columns else "bbox"
+    # native bbox pre-filter: candidates outside the polygon's bbox never
+    # reach the Arrow refine (cuts Python-bound rows before the UDF)
+    cand = cand.filter(
+        F.col(lon_col).between(F.col(f"{bbox}.xmin"), F.col(f"{bbox}.xmax"))
+        & F.col(lat_col).between(F.col(f"{bbox}.ymin"), F.col(f"{bbox}.ymax"))
+    )
     refined = cand.filter(
         point_in_wkb_polygon(F.col(lon_col), F.col(lat_col), F.col(geo))
     )

@@ -108,6 +108,41 @@ def streaming_tile_assignment(images: DataFrame, res: int = 15) -> DataFrame:
     )
 
 
+def stateful_cell_counts(images: DataFrame, res: int = 12) -> DataFrame:
+    """Custom stateful streaming operator: per-cell RUNNING image and
+    payload-byte totals across micro-batches via
+    ``applyInPandasWithState`` (the engine's example of state beyond
+    built-in windowed aggs). Each batch emits the cell's updated
+    cumulative row — an incrementally-maintained cell histogram, i.e.
+    the streaming form of ``spatial_join.cell_histogram`` that feeds
+    skew decisions on a live ingest."""
+    import pandas as pd
+
+    assigned = images.select(
+        "image_id",
+        F.when(F.col("bytes").isNotNull(),
+               F.length("bytes")).otherwise(0).alias("nbytes"),
+        tiles.cell_id(F.col("lon"), F.col("lat"), res).alias("cell"),
+    )
+
+    def update(key, pdfs, state):
+        n, b = state.get() if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            b += int(pdf["nbytes"].sum())
+        state.update((n, b))
+        yield pd.DataFrame({"cell": [key[0]], "n_images": [n],
+                            "total_bytes": [b]})
+
+    return assigned.groupBy("cell").applyInPandasWithState(
+        update,
+        outputStructType="cell long, n_images long, total_bytes long",
+        stateStructType="n long, b long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "complete"):
     """Drive a streaming query to completion over the currently-present

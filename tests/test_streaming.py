@@ -44,3 +44,41 @@ def test_streaming_tile_assignment_matches_batch(spark, synth_dir):
     exp = {r["image_id"]: r["cell"] for r in
            batch.select("image_id", "cell").collect()}
     assert got == exp
+
+
+def test_stateful_cell_counts_matches_batch(spark, synth_dir):
+    """applyInPandasWithState running totals: the LAST emitted row per
+    cell must equal the batch groupBy totals."""
+    from pyspark.sql import functions as F
+
+    from pyrosm_spark.functions import tiles
+    from pyrosm_spark.streaming.ingest import (
+        read_images_stream,
+        run_to_memory,
+        stateful_cell_counts,
+    )
+
+    img_path = os.path.join(synth_dir, "images.parquet")
+    stream = read_images_stream(spark, img_path, max_files_per_trigger=1)
+    out = stateful_cell_counts(stream, res=12)
+    run_to_memory(out, "cell_state", output_mode="update")
+    rows = spark.sql("SELECT * FROM cell_state").collect()
+    # keep the max (= final cumulative) per cell
+    final = {}
+    for r in rows:
+        cur = final.get(r["cell"])
+        if cur is None or r["n_images"] > cur[0]:
+            final[r["cell"]] = (r["n_images"], r["total_bytes"])
+
+    batch = (
+        spark.read.parquet(img_path)
+        .select(
+            F.when(F.col("bytes").isNotNull(),
+                   F.length("bytes")).otherwise(0).alias("nbytes"),
+            tiles.cell_id(F.col("lon"), F.col("lat"), 12).alias("cell"),
+        )
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"), F.sum("nbytes").alias("b"))
+    )
+    exp = {r["cell"]: (r["n"], r["b"]) for r in batch.collect()}
+    assert final == exp and len(exp) > 10
