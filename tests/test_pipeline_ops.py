@@ -141,6 +141,37 @@ def test_ann_lsh_recall(spark, emb):
         assert cos <= e[q][1] + 1e-9  # approx can never beat exact
 
 
+def test_ann_ivf_recall(spark, emb):
+    """IVF ANN vs exact top-1: corpus assigned to its nearest of 8
+    centroids, queries probing 4 cells cover half the codebook — on
+    weakly-clustered synthetic embeddings that bounds recall well
+    above chance; approx cosine can never beat exact. Also pin the
+    invariant that IVF scores each (query, corpus-cell) pair at most
+    once (corpus replication factor 1)."""
+    exact = S.cosine_topk(emb.filter(F.col("vec_id") < 50), emb, k=1)
+    approx = S.ann_topk_ivf(emb.filter(F.col("vec_id") < 50), emb, k=1,
+                            n_cells=8, nprobe=4)
+    e = {r["query_id"]: (r["neighbor_id"], r["cosine"])
+         for r in exact.collect()}
+    a = {r["query_id"]: (r["neighbor_id"], r["cosine"])
+         for r in approx.collect()}
+    assert len(a) > 0
+    hits = sum(1 for q in a if e.get(q, (None,))[0] == a[q][0])
+    assert hits / max(len(e), 1) > 0.4, f"recall {hits}/{len(e)}"
+    for q, (nid, cos) in a.items():
+        assert cos <= e[q][1] + 1e-9
+
+
+def test_ann_ivf_deterministic_codebook(spark, emb):
+    """Codebook is a pure function of (sample, n_cells, seed)."""
+    import numpy as np
+
+    c1 = S.train_ivf_centroids(emb, n_cells=4, dim=64, iters=3)
+    c2 = S.train_ivf_centroids(emb, n_cells=4, dim=64, iters=3)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (4, 64)
+
+
 def test_simhash_pairs_properties(spark, docs):
     pairs = D.simhash_pairs(docs, max_hamming=16)
     rows = pairs.collect()
