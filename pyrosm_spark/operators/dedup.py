@@ -213,6 +213,7 @@ def banded_self_pairs(
     id_col: str,
     n_blocks: int = 1,
     extra_cols: tuple = (),
+    first_band_cond=None,
 ) -> DataFrame:
     """Enumerate unordered within-bucket pairs of a banded table.
 
@@ -223,6 +224,14 @@ def banded_self_pairs(
     blocks — same pair set, parallelism S^2/2 per hot bucket, left side
     replicated (S+1)/2 times. This is the salted-self-join skew pattern
     of the north rule applied to dedup.
+
+    A pair sharing k bands would surface k times, classically collapsed
+    by a final ``distinct()`` — a full shuffle of the candidate set.
+    ``first_band_cond(a, b) -> Column``, when the caller can decide
+    "this band is the pair's FIRST matching band" from the two joined
+    rows alone (hash-banded schemes can: the full hash rides along),
+    moves that dedup into the join predicate — each pair is emitted
+    exactly once and the distinct shuffle disappears.
     Returns columns id_a, id_b (+ a_<c>/b_<c> for extra_cols).
     """
     sel_a = [F.col(f"a.{id_col}").alias("id_a")] + [
@@ -241,6 +250,9 @@ def banded_self_pairs(
         cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         for c in band_cols:
             cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        if first_band_cond is not None:
+            cond = cond & first_band_cond("a", "b")
+            return a.join(b, cond).select(*sel_a, *sel_b)
         return a.join(b, cond).select(*sel_a, *sel_b).distinct()
 
     chunk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
@@ -258,6 +270,8 @@ def banded_self_pairs(
         | ((F.col("a._ca") == F.col("b._cb"))
            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
     )
+    if first_band_cond is not None:
+        cond = cond & first_band_cond("a", "b")
     pairs = a.join(b, cond).select(
         F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
         F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
@@ -268,7 +282,37 @@ def banded_self_pairs(
                  F.col(f"b.{c}")).otherwise(F.col(f"a.{c}")).alias(f"b_{c}")
           for c in extra_cols],
     )
-    return pairs.distinct()
+    return pairs if first_band_cond is not None else pairs.distinct()
+
+
+def _first_chunk_cond(hash_col: str, n_bands: int = 4, bits: int = 16):
+    """first_band_cond for 64-bit-hash banding: the pair's first
+    matching band is the lowest ``bits``-wide zero chunk of the XOR —
+    computable from the two joined rows, fully native."""
+    mask = (1 << bits) - 1
+
+    def cond(a, b):
+        x = F.col(f"{a}.{hash_col}").bitwiseXOR(F.col(f"{b}.{hash_col}"))
+        fm = F.when(x.bitwiseAND(F.lit(mask)) == 0, 0)
+        for i in range(1, n_bands):
+            fm = fm.when(
+                F.shiftrightunsigned(x, bits * i)
+                .bitwiseAND(F.lit(mask)) == 0, i)
+        return F.col(f"{a}.band") == fm
+
+    return cond
+
+
+def _first_key_cond(keys_col: str):
+    """first_band_cond for keyed banding (e.g. MinHash band digests):
+    both rows carry the full per-band key array, so the first matching
+    band is the first position where the arrays agree."""
+    def cond(a, b):
+        eq = F.zip_with(F.col(f"{a}.{keys_col}"), F.col(f"{b}.{keys_col}"),
+                        lambda x, y: x == y)
+        return F.col(f"{a}.band") == F.array_position(eq, F.lit(True)) - 1
+
+    return cond
 
 
 # --------------------------------------------------------------------------
@@ -324,18 +368,21 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     an equi-join on (band, band_key); ``n_blocks`` > 1 engages the
     skew-blocked self-join for dense buckets (identical pair set)."""
     sig = minhash_signatures(docs, text_col, id_col)
-    bands = []
+    keys = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        bands.append(F.struct(F.lit(b).alias("band"),
-                              F.md5(F.concat_ws(",", *cols)).alias("key")))
+        keys.append(F.md5(F.concat_ws(",", *cols)))
+    bands = [F.struct(F.lit(b).alias("band"), k.alias("key"))
+             for b, k in enumerate(keys)]
     banded = sig.select(
-        "doc", F.explode(F.array(*bands)).alias("bk")
-    ).select("doc", F.col("bk.band").alias("band"),
+        "doc", F.array(*keys).alias("allkeys"),
+        F.explode(F.array(*bands)).alias("bk")
+    ).select("doc", "allkeys", F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
-    pairs = banded_self_pairs(banded, ["band", "key"], "doc", n_blocks)
+    pairs = banded_self_pairs(banded, ["band", "key"], "doc", n_blocks,
+                              first_band_cond=_first_key_cond("allkeys"))
     return pairs.select(F.col("id_a").alias("doc_a"),
-                        F.col("id_b").alias("doc_b")).distinct()
+                        F.col("id_b").alias("doc_b"))
 
 
 def minhash_lsh_pairs_sql(table: str = "documents") -> str:
@@ -408,14 +455,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
     banded = sh.select("doc", "sim", F.explode(bands).alias("bk")).select(
         "doc", "sim", "bk.band", "bk.key")
     pairs = banded_self_pairs(banded, ["band", "key"], "doc", n_blocks,
-                              extra_cols=("sim",))
+                              extra_cols=("sim",),
+                              first_band_cond=_first_chunk_cond("sim"))
     return (
         pairs.select(
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
             F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
             .alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
@@ -490,14 +537,14 @@ def phash_pairs(images: DataFrame, max_hamming: int = 6,
     banded = base.select("img", "ph", F.explode(bands).alias("bk")).select(
         "img", "ph", "bk.band", "bk.key")
     pairs = banded_self_pairs(banded, ["band", "key"], "img", n_blocks,
-                              extra_cols=("ph",))
+                              extra_cols=("ph",),
+                              first_band_cond=_first_chunk_cond("ph"))
     return (
         pairs.select(
             F.col("id_a").alias("img_a"), F.col("id_b").alias("img_b"),
             F.bit_count(F.col("a_ph").bitwiseXOR(F.col("b_ph")))
             .alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
