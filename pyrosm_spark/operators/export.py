@@ -1,0 +1,117 @@
+"""X4 — graph-object exporters (reference: graph_export.pyx:29-236,
+graphs.py:133-411).
+
+The distributed export surface of this engine is the `(nodes, edges)`
+DataFrame pair — that is what survives 100 TB. A NetworkX graph is a
+driver-side object by definition, so this exporter mirrors the
+reference's role exactly: a terminal convenience that collects the
+(already filtered / directed / component-pruned) frames and assembles
+the `MultiDiGraph` for interop with the OSMnx ecosystem. All graph
+ALGORITHMS (street_count, degrees, components, simplification) run
+distributed in `operators/graph.py`; nothing here is on a scale path.
+
+Parity notes vs the reference:
+- edges whose endpoint node records are missing are skipped, not an
+  error (graph_export.pyx:148-172 — cropped-data tolerance);
+- nodes are keyed by the node id column, attrs = full node record
+  (graph_export.pyx:139-145);
+- `osmnx_compatible=True` renames id->osmid, lon->x, lat->y and adds
+  the `key` edge attribute (graphs.py:225-231);
+- per-node `street_count` counts undirected incident street segments
+  with self-loops once (graph_export.pyx:12-27), recomputed on the
+  exported graph so it reflects the final edge set.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import chain
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GRAPH_NAME = "pyrosm_spark export"
+
+
+def _street_counts(graph) -> dict:
+    """OSMnx-compatible street_count: undirected incident segments per
+    node, self-loops counted once (graph_export.pyx:12-27)."""
+    import networkx as nx
+
+    und = graph.to_undirected(reciprocal=False, as_view=True)
+    self_loops = set(nx.selfloop_edges(und, keys=False))
+    non_self = [e for e in und.edges(keys=False) if e not in self_loops]
+    counts = Counter(chain.from_iterable(non_self + list(self_loops)))
+    return {n: counts[n] for n in graph.nodes()}
+
+
+def to_networkx(
+    nodes: DataFrame,
+    edges: DataFrame,
+    network_type: str = "driving",
+    force_bidirectional: bool = False,
+    retain_all: bool = False,
+    osmnx_compatible: bool = True,
+    already_directed: bool = False,
+    from_col: str = "u",
+    to_col: str = "v",
+    node_id_col: str = "id",
+):
+    """Export a segment-level network (`get_network(with_nodes=True)`
+    output) as a `networkx.MultiDiGraph`.
+
+    The distributed stages run first — directed-edge generation (X1),
+    largest-strongly-connected-component retention (X3, unless
+    ``retain_all``), endpoint-node retention (J9) — and only the final
+    frames are collected. Mirrors `graphs.py:133-245` `to_networkx`.
+    """
+    import networkx as nx
+
+    from pyrosm_spark.operators.graph import largest_component_edges
+    from pyrosm_spark.operators.network import directed_edges
+
+    if not already_directed:
+        edges = directed_edges(edges, network_type, force_bidirectional,
+                               from_col=from_col, to_col=to_col)
+    if not retain_all:
+        edges = largest_component_edges(edges, from_col, to_col,
+                                        strongly=True)
+
+    endpoint_ids = (
+        edges.select(F.col(from_col).alias(node_id_col))
+        .union(edges.select(F.col(to_col).alias(node_id_col)))
+        .distinct()
+    )
+    nodes = nodes.join(endpoint_ids, node_id_col, "left_semi")
+
+    npd = nodes.toPandas()
+    epd = edges.toPandas()
+
+    if osmnx_compatible:
+        npd = npd.rename(columns={node_id_col: "osmid", "lon": "x",
+                                  "lat": "y"})
+        node_key = "osmid"
+        if "key" not in epd.columns:
+            epd["key"] = 0
+    else:
+        node_key = node_id_col
+
+    node_ids = npd[node_key].tolist()
+    known = set(node_ids)
+    node_attrs = list(zip(node_ids, npd.to_dict(orient="records")))
+
+    edge_records = epd.to_dict(orient="records")
+    edge_list = [
+        (rec[from_col], rec[to_col], 0, rec)
+        for rec in edge_records
+        if rec[from_col] in known and rec[to_col] in known
+    ]
+
+    graph = nx.MultiDiGraph()
+    graph.add_nodes_from(node_attrs)
+    graph.add_edges_from(edge_list)
+    graph.graph["crs"] = "EPSG:4326"
+    graph.graph["name"] = GRAPH_NAME
+    nx.set_node_attributes(graph, _street_counts(graph),
+                           name="street_count")
+    return graph

@@ -107,3 +107,67 @@ def test_simplify_on_network(spark, synth_dir):
     simp_total = simp.agg(F.sum("length")).collect()[0][0]
     assert simp.count() < seg_count
     assert simp_total == pytest.approx(seg_total, rel=1e-6)
+
+
+# --------------------------------------------------------------------------
+# X4 — networkx export (driver-side terminal op)
+# --------------------------------------------------------------------------
+
+def test_to_networkx_export(spark, synth_dir):
+    """MultiDiGraph export parity: osmnx naming, endpoint closure,
+    street_count on the exported graph matching the distributed
+    street_count operator over the same final edge set."""
+    nx = pytest.importorskip("networkx")
+
+    from pyrosm_spark.operators.export import to_networkx
+    from pyrosm_spark.operators.graph import (
+        largest_component_edges, street_count)
+    from pyrosm_spark.operators.network import directed_edges, get_network
+    from pyrosm_spark.operators.osm_source import load_osm
+
+    nodes, ways, _ = load_osm(spark, synth_dir)
+    ndf, edf = get_network(nodes, ways, "driving", with_nodes=True)
+    g = to_networkx(ndf, edf, "driving")
+
+    assert isinstance(g, nx.MultiDiGraph)
+    assert g.graph["crs"] == "EPSG:4326"
+    assert g.number_of_nodes() > 0 and g.number_of_edges() > 0
+    # strongly-connected retention (retain_all=False default)
+    assert nx.is_strongly_connected(nx.DiGraph(g))
+
+    # osmnx-compatible attrs
+    n0, attrs = next(iter(g.nodes(data=True)))
+    assert {"osmid", "x", "y", "street_count"} <= set(attrs)
+    assert attrs["osmid"] == n0
+    _, _, eattrs = next(iter(g.edges(data=True)))
+    assert {"u", "v", "key", "length"} <= set(eattrs)
+
+    # every edge endpoint is a materialized node (closure)
+    node_set = set(g.nodes())
+    for u, v in g.edges(keys=False):
+        assert u in node_set and v in node_set
+
+    # street_count parity: distributed operator over the same final
+    # (directed, largest-SCC) edge set vs the exported graph's counts
+    final_edges = largest_component_edges(
+        directed_edges(edf, "driving"), strongly=True)
+    dist = {r["node"]: r["street_count"]
+            for r in street_count(final_edges).collect()}
+    nx_counts = {n: a["street_count"] for n, a in g.nodes(data=True)}
+    assert nx_counts == dist
+
+
+def test_to_networkx_retain_all(spark, synth_dir):
+    """retain_all=True keeps every weak component (>= SCC node count)."""
+    pytest.importorskip("networkx")
+
+    from pyrosm_spark.operators.export import to_networkx
+    from pyrosm_spark.operators.network import get_network
+    from pyrosm_spark.operators.osm_source import load_osm
+
+    nodes, ways, _ = load_osm(spark, synth_dir)
+    ndf, edf = get_network(nodes, ways, "driving", with_nodes=True)
+    g_all = to_networkx(ndf, edf, "driving", retain_all=True)
+    g_scc = to_networkx(ndf, edf, "driving", retain_all=False)
+    assert g_all.number_of_nodes() >= g_scc.number_of_nodes()
+    assert g_all.number_of_edges() > 0
