@@ -27,4 +27,5 @@ port of its Cython engine.
 
 __version__ = "0.1.0"
 
+from pyrosm_spark.api import OSM  # noqa: F401
 from pyrosm_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,186 @@
+"""The pyrosm-shaped user API: the `OSM` facade class.
+
+The reference's entire user surface is one class (`pyrosm/pyrosm.py`
+`OSM`, 1623 LoC): construct with a data source + optional bounding box,
+then call typed layer methods. This facade reproduces that surface over
+the distributed operators so a reference user can switch engines by
+changing the constructor — same method names, same parameter names,
+DataFrames out instead of GeoDataFrames.
+
+Differences, all deliberate:
+- the source is a directory of columnar element tables (parquet /
+  Iceberg via `sources.read_table`), not a PBF file path — ingest is a
+  one-time upstream step at 100 TB;
+- methods return lazy DataFrames: nothing is parsed or materialized
+  until an action runs, so chaining a bbox + filter compiles into ONE
+  Catalyst plan with pushdown (the reference re-parses the PBF per
+  call and caches, `pyrosm.py:255-271`);
+- `engine=`/`workers=` knobs don't exist — parallelism belongs to the
+  SparkSession.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyrosm_spark.operators import layers as L
+from pyrosm_spark.operators import osm_source
+from pyrosm_spark.operators.network import get_network as _get_network
+
+
+def _validate_bbox(bounding_box):
+    """List-form bbox validation (pyrosm.py:160-170): [minx, miny,
+    maxx, maxy], min < max on both axes. Geometry-form bboxes are a
+    GeoDataFrame feature the engine expresses as WKB polygon filters —
+    pass those to spatial_join.point_in_polygon_join instead."""
+    if bounding_box is None:
+        return None
+    bb = list(bounding_box)
+    if len(bb) != 4:
+        raise ValueError(
+            "When passing bounding box as a list it should contain 4 "
+            "coordinates: [minx, miny, maxx, maxy].")
+    minx, miny, maxx, maxy = bb
+    if minx >= maxx or miny >= maxy:
+        raise ValueError("Invalid bounding box: min >= max.")
+    return (minx, miny, maxx, maxy)
+
+
+class OSM:
+    """`OSM(spark, data_dir, bounding_box=[...])` — the reference's
+    constructor shape (`pyrosm.py:128-204`) minus file-format concerns.
+
+    All layer methods accept the reference's parameter names
+    (`custom_filter`, `filter_type`, `timestamp`, `nodes`, ...) and
+    return DataFrames with `osm_type`/`geometry`(WKB)/tag columns.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_dir: str,
+        bounding_box=None,
+        keep_metadata: bool = True,
+        complete_relations: bool = False,
+    ):
+        if not isinstance(keep_metadata, bool):
+            raise ValueError("'keep_metadata' should be a boolean.")
+        if not isinstance(complete_relations, bool):
+            raise ValueError("'complete_relations' should be a boolean.")
+        self.spark = spark
+        self.data_dir = data_dir
+        self.bounding_box = _validate_bbox(bounding_box)
+        self.keep_metadata = keep_metadata
+        self.complete_relations = complete_relations
+        self._tables = None
+
+    # -- source -----------------------------------------------------------
+
+    def _osm(self):
+        if self._tables is None:
+            self._tables = osm_source.load_osm(self.spark, self.data_dir)
+        return self._tables
+
+    def _at(self, df: DataFrame, timestamp) -> DataFrame:
+        """Reference `timestamp=` semantics (F11 + A1): restrict to
+        versions at/before the instant, then latest-per-id."""
+        if timestamp is None:
+            return df
+        ts = int(timestamp)
+        return osm_source.latest_version(osm_source.at_timestamp(df, ts))
+
+    def _src(self, timestamp=None):
+        nodes, ways, rels = self._osm()
+        if timestamp is not None:
+            nodes = self._at(nodes, timestamp)
+            ways = self._at(ways, timestamp)
+            rels = self._at(rels, timestamp)
+        return nodes, ways, rels
+
+    # -- layers (pyrosm.py method-for-method) -----------------------------
+
+    def get_network(self, network_type: str = "walking",
+                    nodes: bool = False, timestamp=None,
+                    custom_filter=None):
+        """pyrosm.py:314-497. Returns edges, or (nodes, edges) when
+        ``nodes=True`` (segment-level with u/v/length)."""
+        n, w, _ = self._src(timestamp)
+        return _get_network(n, w, network_type, custom_filter=custom_filter,
+                            bbox=self.bounding_box, with_nodes=nodes)
+
+    def get_buildings(self, custom_filter=None, timestamp=None) -> DataFrame:
+        n, w, r = self._src(timestamp)
+        return L.get_buildings(n, w, r, custom_filter,
+                               bbox=self.bounding_box,
+                               complete_relations=self.complete_relations)
+
+    def get_pois(self, custom_filter=None, timestamp=None) -> DataFrame:
+        n, w, r = self._src(timestamp)
+        return L.get_pois(n, w, r, custom_filter, bbox=self.bounding_box,
+                          complete_relations=self.complete_relations)
+
+    def get_landuse(self, custom_filter=None, timestamp=None) -> DataFrame:
+        n, w, r = self._src(timestamp)
+        return L.get_landuse(n, w, r, custom_filter, bbox=self.bounding_box,
+                             complete_relations=self.complete_relations)
+
+    def get_natural(self, custom_filter=None, timestamp=None) -> DataFrame:
+        n, w, r = self._src(timestamp)
+        return L.get_natural(n, w, r, custom_filter, bbox=self.bounding_box,
+                             complete_relations=self.complete_relations)
+
+    def get_boundaries(self, boundary_type: str = "administrative",
+                       name: str | None = None, custom_filter=None,
+                       timestamp=None) -> DataFrame:
+        n, w, r = self._src(timestamp)
+        return L.get_boundaries(n, w, r, boundary_type=boundary_type,
+                                name=name, custom_filter=custom_filter,
+                                bbox=self.bounding_box)
+
+    def get_data_by_custom_criteria(
+        self,
+        custom_filter=None,
+        filter_type: str = "keep",
+        keep_nodes: bool = True,
+        keep_ways: bool = True,
+        keep_relations: bool = True,
+        timestamp=None,
+    ) -> DataFrame:
+        """pyrosm.py:1019-1185. ``custom_filter=None`` = keep-all mode:
+        every element carrying >=1 real tag, no key/value filtering
+        (filter_type ignored, pyrosm.py:1117-1125)."""
+        n, w, r = self._src(timestamp)
+        out = L.get_layer(
+            n, w, r,
+            custom_filter=custom_filter,
+            filter_type=filter_type,
+            keep_all=custom_filter is None,
+            include_nodes=keep_nodes,
+            include_relations=keep_relations,
+            bbox=self.bounding_box,
+            complete_relations=self.complete_relations,
+        )
+        if not keep_ways:
+            from pyspark.sql import functions as F
+
+            out = out.filter(F.col("osm_type") != "way")
+        return out
+
+    # -- graph export (pyrosm.py:1357-1539) -------------------------------
+
+    def to_graph(self, nodes: DataFrame, edges: DataFrame,
+                 graph_type: str = "networkx",
+                 network_type: str = "walking",
+                 retain_all: bool = False,
+                 osmnx_compatible: bool = True):
+        if graph_type != "networkx":
+            raise NotImplementedError(
+                f"graph_type={graph_type!r}: only 'networkx' is "
+                "available here (igraph/pandana libs absent); the "
+                "distributed export surface is the (nodes, edges) "
+                "DataFrame pair.")
+        from pyrosm_spark.operators.export import to_networkx
+
+        return to_networkx(nodes, edges, network_type=network_type,
+                           retain_all=retain_all,
+                           osmnx_compatible=osmnx_compatible)

@@ -1,0 +1,104 @@
+"""OSM facade: the pyrosm-shaped user API over the operators.
+
+Differential strategy: every facade method must equal the functional
+operator it fronts (same plan, same rows) — the facade adds surface,
+never semantics.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrosm_spark import OSM
+from pyrosm_spark.operators import layers as L
+from pyrosm_spark.operators.network import get_network
+from pyrosm_spark.operators.osm_source import load_osm
+
+
+@pytest.fixture(scope="module")
+def osm(spark, synth_dir):
+    return OSM(spark, synth_dir)
+
+
+@pytest.fixture(scope="module")
+def tables(spark, synth_dir):
+    return load_osm(spark, synth_dir)
+
+
+def ids(df):
+    return sorted((r["osm_type"], r["id"]) for r in
+                  df.select("osm_type", "id").collect())
+
+
+def test_bbox_validation(spark, synth_dir):
+    with pytest.raises(ValueError, match="4 coordinates"):
+        OSM(spark, synth_dir, bounding_box=[1, 2, 3])
+    with pytest.raises(ValueError, match="min >= max"):
+        OSM(spark, synth_dir, bounding_box=[2, 0, 1, 1])
+    with pytest.raises(ValueError, match="boolean"):
+        OSM(spark, synth_dir, keep_metadata="yes")
+
+
+def test_get_network_matches_operator(osm, tables):
+    n, w, _ = tables
+    got = osm.get_network("driving")
+    ref = get_network(n, w, "driving")
+    assert sorted(r["id"] for r in got.select("id").collect()) == \
+        sorted(r["id"] for r in ref.select("id").collect())
+
+
+def test_get_network_nodes_tuple(osm):
+    nodes, edges = osm.get_network("driving", nodes=True)
+    assert {"u", "v", "length"} <= set(edges.columns)
+    assert nodes.count() > 0
+
+
+def test_layers_match_operators(osm, tables):
+    n, w, r = tables
+    assert ids(osm.get_buildings()) == ids(L.get_buildings(n, w, r))
+    assert ids(osm.get_pois()) == ids(L.get_pois(n, w, r))
+    assert ids(osm.get_landuse()) == ids(L.get_landuse(n, w, r))
+    assert ids(osm.get_boundaries()) == ids(L.get_boundaries(n, w, r))
+
+
+def test_bounding_box_flows_to_layers(spark, synth_dir, osm):
+    # a bbox covering a sub-window keeps a strict subset of buildings
+    full = osm.get_buildings()
+    boxed = OSM(spark, synth_dir,
+                bounding_box=[24.6, 60.1, 24.9, 60.25]).get_buildings()
+    nf, nb = full.count(), boxed.count()
+    assert 0 < nb < nf
+
+
+def test_custom_criteria_keep_all_and_kinds(osm):
+    out = osm.get_data_by_custom_criteria()  # keep-all mode
+    kinds = {r["osm_type"] for r in out.select("osm_type").distinct().collect()}
+    assert "way" in kinds
+    no_ways = osm.get_data_by_custom_criteria(keep_ways=False)
+    assert no_ways.filter(F.col("osm_type") == "way").count() == 0
+
+
+def test_custom_criteria_exclude(osm):
+    keep = osm.get_data_by_custom_criteria(
+        {"highway": ["residential"]}, filter_type="keep", keep_nodes=False,
+        keep_relations=False)
+    excl = osm.get_data_by_custom_criteria(
+        {"highway": ["residential"]}, filter_type="exclude",
+        keep_nodes=False, keep_relations=False)
+    inter = set(r["id"] for r in keep.select("id").collect()) & \
+        set(r["id"] for r in excl.select("id").collect())
+    assert inter == set()
+
+
+def test_timestamp_filter(osm):
+    # history semantics: nothing newer than ts survives
+    out = osm.get_data_by_custom_criteria(timestamp=0)
+    assert out.count() == 0 or out.filter("timestamp > 0").count() == 0
+
+
+def test_to_graph(osm):
+    pytest.importorskip("networkx")
+    nodes, edges = osm.get_network("driving", nodes=True)
+    g = osm.to_graph(nodes, edges, network_type="driving")
+    assert g.number_of_edges() > 0
+    with pytest.raises(NotImplementedError, match="igraph"):
+        osm.to_graph(nodes, edges, graph_type="igraph")
