@@ -97,37 +97,74 @@ class OSM:
             rels = self._at(rels, timestamp)
         return nodes, ways, rels
 
+    @staticmethod
+    def _tag_cols(default_of, tags_to_keep, extra_attributes):
+        """Reference column-control semantics (pyrosm.py:451-466):
+        ``tags_to_keep`` REPLACES the layer's default tag-column set,
+        ``extra_attributes`` APPENDS to it; both affect presentation
+        columns only, never filtering."""
+        if tags_to_keep is None and extra_attributes is None:
+            return None  # layer default
+        base = list(tags_to_keep) if tags_to_keep is not None else None
+        if base is None:
+            from pyrosm_spark.operators import presets
+
+            base = list(getattr(presets, default_of))
+        for k in extra_attributes or []:
+            if k not in base:
+                base.append(k)
+        return base
+
     # -- layers (pyrosm.py method-for-method) -----------------------------
 
     def get_network(self, network_type: str = "walking",
                     nodes: bool = False, timestamp=None,
-                    custom_filter=None):
+                    custom_filter=None, tags_to_keep=None,
+                    extra_attributes=None):
         """pyrosm.py:314-497. Returns edges, or (nodes, edges) when
         ``nodes=True`` (segment-level with u/v/length)."""
         n, w, _ = self._src(timestamp)
+        tc = self._tag_cols("NETWORK_TAG_COLS", tags_to_keep,
+                            extra_attributes)
+        kw = {} if tc is None else {"tag_cols": tc}
         return _get_network(n, w, network_type, custom_filter=custom_filter,
-                            bbox=self.bounding_box, with_nodes=nodes)
+                            bbox=self.bounding_box, with_nodes=nodes, **kw)
 
-    def get_buildings(self, custom_filter=None, timestamp=None) -> DataFrame:
+    def get_buildings(self, custom_filter=None, timestamp=None,
+                   tags_to_keep=None, extra_attributes=None) -> DataFrame:
         n, w, r = self._src(timestamp)
-        return L.get_buildings(n, w, r, custom_filter,
-                               bbox=self.bounding_box,
-                               complete_relations=self.complete_relations)
+        return L.get_buildings(
+            n, w, r, custom_filter, bbox=self.bounding_box,
+            tag_cols=self._tag_cols("BUILDING_TAG_COLS", tags_to_keep,
+                                    extra_attributes),
+            complete_relations=self.complete_relations)
 
-    def get_pois(self, custom_filter=None, timestamp=None) -> DataFrame:
+    def get_pois(self, custom_filter=None, timestamp=None,
+                   tags_to_keep=None, extra_attributes=None) -> DataFrame:
         n, w, r = self._src(timestamp)
-        return L.get_pois(n, w, r, custom_filter, bbox=self.bounding_box,
-                          complete_relations=self.complete_relations)
+        return L.get_pois(
+            n, w, r, custom_filter, bbox=self.bounding_box,
+            tag_cols=self._tag_cols("POI_TAG_COLS", tags_to_keep,
+                                    extra_attributes),
+            complete_relations=self.complete_relations)
 
-    def get_landuse(self, custom_filter=None, timestamp=None) -> DataFrame:
+    def get_landuse(self, custom_filter=None, timestamp=None,
+                    tags_to_keep=None, extra_attributes=None) -> DataFrame:
         n, w, r = self._src(timestamp)
-        return L.get_landuse(n, w, r, custom_filter, bbox=self.bounding_box,
-                             complete_relations=self.complete_relations)
+        return L.get_landuse(
+            n, w, r, custom_filter, bbox=self.bounding_box,
+            tag_cols=self._tag_cols("LANDUSE_TAG_COLS", tags_to_keep,
+                                    extra_attributes),
+            complete_relations=self.complete_relations)
 
-    def get_natural(self, custom_filter=None, timestamp=None) -> DataFrame:
+    def get_natural(self, custom_filter=None, timestamp=None,
+                    tags_to_keep=None, extra_attributes=None) -> DataFrame:
         n, w, r = self._src(timestamp)
-        return L.get_natural(n, w, r, custom_filter, bbox=self.bounding_box,
-                             complete_relations=self.complete_relations)
+        return L.get_natural(
+            n, w, r, custom_filter, bbox=self.bounding_box,
+            tag_cols=self._tag_cols("NATURAL_TAG_COLS", tags_to_keep,
+                                    extra_attributes),
+            complete_relations=self.complete_relations)
 
     def get_boundaries(self, boundary_type: str = "administrative",
                        name: str | None = None, custom_filter=None,

@@ -134,47 +134,51 @@ def get_layer(
 # --------------------------------------------------------------------------
 
 def get_buildings(nodes, ways, relations, custom_filter=None, bbox=None,
-                  **kw) -> DataFrame:
+                  tag_cols=None, **kw) -> DataFrame:
     """buildings.py:20-27: default {'building': True}, keep, no node
     features; a custom filter is OR-extended with the building key."""
     cf = {"building": True} if custom_filter is None else ensure_filter_key(
         custom_filter, "building"
     )
     return get_layer(nodes, ways, relations, cf, include_nodes=False,
-                     bbox=bbox, tag_cols=presets.BUILDING_TAG_COLS, **kw)
+                     bbox=bbox, tag_cols=(presets.BUILDING_TAG_COLS if tag_cols is None
+                               else tag_cols), **kw)
 
 
 def get_pois(nodes, ways, relations, custom_filter=None, bbox=None,
-             **kw) -> DataFrame:
+             tag_cols=None, **kw) -> DataFrame:
     """pois.py:20-36: user filter, keep, node features included. The
     reference's default POI filter is Conf-driven; ours defaults to
     amenity/shop/tourism presence."""
     cf = custom_filter or {"amenity": True, "shop": True, "tourism": True}
     return get_layer(nodes, ways, relations, cf, include_nodes=True,
-                     bbox=bbox, tag_cols=presets.POI_TAG_COLS, **kw)
+                     bbox=bbox, tag_cols=(presets.POI_TAG_COLS if tag_cols is None
+                               else tag_cols), **kw)
 
 
 def get_landuse(nodes, ways, relations, custom_filter=None, bbox=None,
-                **kw) -> DataFrame:
+                tag_cols=None, **kw) -> DataFrame:
     cf = {"landuse": True} if custom_filter is None else ensure_filter_key(
         custom_filter, "landuse"
     )
     return get_layer(nodes, ways, relations, cf, include_nodes=True,
-                     bbox=bbox, tag_cols=presets.LANDUSE_TAG_COLS, **kw)
+                     bbox=bbox, tag_cols=(presets.LANDUSE_TAG_COLS if tag_cols is None
+                               else tag_cols), **kw)
 
 
 def get_natural(nodes, ways, relations, custom_filter=None, bbox=None,
-                **kw) -> DataFrame:
+                tag_cols=None, **kw) -> DataFrame:
     cf = {"natural": True} if custom_filter is None else ensure_filter_key(
         custom_filter, "natural"
     )
     return get_layer(nodes, ways, relations, cf, include_nodes=True,
-                     bbox=bbox, tag_cols=presets.NATURAL_TAG_COLS, **kw)
+                     bbox=bbox, tag_cols=(presets.NATURAL_TAG_COLS if tag_cols is None
+                               else tag_cols), **kw)
 
 
 def get_boundaries(nodes, ways, relations, boundary_type: str = "administrative",
                    name: str | None = None, custom_filter=None, bbox=None,
-                   **kw) -> DataFrame:
+                   tag_cols=None, **kw) -> DataFrame:
     """boundary.py:20-85: default {'boundary': [type]} (or True for
     'all'), keep, no node features, then substring name filter (F10)."""
     if custom_filter is None:
@@ -183,7 +187,9 @@ def get_boundaries(nodes, ways, relations, boundary_type: str = "administrative"
         }
     cf = ensure_filter_key(custom_filter, "boundary")
     out = get_layer(nodes, ways, relations, cf, include_nodes=False,
-                    bbox=bbox, tag_cols=presets.BOUNDARY_TAG_COLS, **kw)
+                    bbox=bbox, tag_cols=(presets.BOUNDARY_TAG_COLS
+                                         if tag_cols is None else tag_cols),
+                    **kw)
     if name is not None:
         out = out.filter(
             F.col("tags")["name"].isNotNull()

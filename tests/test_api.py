@@ -102,3 +102,15 @@ def test_to_graph(osm):
     assert g.number_of_edges() > 0
     with pytest.raises(NotImplementedError, match="igraph"):
         osm.to_graph(nodes, edges, graph_type="igraph")
+
+
+def test_tags_to_keep_and_extra_attributes(osm):
+    """pyrosm.py:451-466 — tags_to_keep replaces the default column
+    set; extra_attributes appends. Filtering is unaffected."""
+    default = osm.get_buildings()
+    narrowed = osm.get_buildings(tags_to_keep=["building"])
+    widened = osm.get_buildings(extra_attributes=["height"])
+    assert narrowed.count() == default.count()  # presentation only
+    assert "name" not in narrowed.columns
+    assert "building" in narrowed.columns
+    assert set(default.columns) <= set(widened.columns) | {"height"}
