@@ -59,6 +59,185 @@ def degrees(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
     )
 
 
+def endpoint_nodes(
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    edge_attr_cols: tuple = (),
+    node_include: DataFrame | None = None,
+) -> DataFrame:
+    """X2 endpoint detection, OSMnx rules 1-5 over a DIRECTED edge
+    list, entirely as aggregations (graph_simplify.py:60-97 semantics):
+
+    1. self-loop;
+    2. dead-end — no in-edges or no out-edges;
+    3. not a clean pass-through — pass-through iff exactly 2 distinct
+       undirected neighbours AND total degree in {2, 4} (one-way
+       through, or two-way through);
+    4. ``node_include`` — nodes in this one-column DataFrame are forced
+       endpoints (the node-attribute relaxation rule);
+    5. ``edge_attr_cols`` — a node whose incident (in+out) edges
+       disagree on any named column is an endpoint, so collapsed chains
+       stay attribute-uniform.
+
+    Returns (node, is_endpoint). One shuffle per aggregate, all
+    map-side combinable; no Python.
+    """
+    u, v = F.col(u_col), F.col(v_col)
+    e = edges.select(u.alias("eu"), v.alias("ev"),
+                     *[F.col(c).alias(f"a_{c}") for c in edge_attr_cols])
+
+    deg = degrees(e, "eu", "ev").withColumnRenamed(
+        "n_neighbors", "distinct_nbr")
+    loops = (e.filter(F.col("eu") == F.col("ev"))
+             .select(F.col("eu").alias("node")).distinct()
+             .withColumn("self_loop", F.lit(True)))
+    flags = deg.join(loops, "node", "left").withColumn(
+        "self_loop", F.coalesce(F.col("self_loop"), F.lit(False)))
+
+    is_pass = (
+        (F.col("distinct_nbr") == 2)
+        & (F.col("in_degree") + F.col("out_degree")).isin(2, 4)
+    )
+    endpoint = (
+        F.col("self_loop")
+        | (F.col("in_degree") == 0) | (F.col("out_degree") == 0)
+        | ~is_pass
+    )
+    out = flags.select("node", endpoint.alias("is_endpoint"))
+
+    if edge_attr_cols:
+        inc = e.select(
+            F.explode(F.array(F.col("eu"), F.col("ev"))).alias("node"),
+            *[F.col(f"a_{c}") for c in edge_attr_cols])
+        differ = inc.groupBy("node").agg(*[
+            (F.countDistinct(f"a_{c}") > 1).alias(f"d_{c}")
+            for c in edge_attr_cols])
+        cond = None
+        for c in edge_attr_cols:
+            d = F.coalesce(F.col(f"d_{c}"), F.lit(False))
+            cond = d if cond is None else (cond | d)
+        out = (out.join(differ, "node", "left")
+               .select("node", (F.col("is_endpoint") | cond)
+                       .alias("is_endpoint")))
+
+    if node_include is not None:
+        inc_ids = node_include.select(
+            F.col(node_include.columns[0]).alias("node")
+        ).distinct().withColumn("force", F.lit(True))
+        out = (out.join(inc_ids, "node", "left")
+               .select("node", (F.col("is_endpoint")
+                                | F.coalesce(F.col("force"), F.lit(False)))
+                       .alias("is_endpoint")))
+    return out
+
+
+def simplify_directed_chains(
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    length_col: str = "length",
+    way_col: str = "id",
+    edge_attr_cols: tuple = (),
+    node_include: DataFrame | None = None,
+) -> DataFrame:
+    """X2 full form — directed chain collapse with OSMnx endpoint rules
+    (graph_simplify.py:239-432): endpoints from ``endpoint_nodes``
+    (pure SQL, distributed), then per-weak-component directed walks in
+    ``applyInPandas``. Each directed chain starts at an endpoint's
+    out-edge and consumes successor out-edges through pass-through
+    nodes (preferring not to U-turn), so two-way streets collapse into
+    two directed chains. Endpoint-free rings walk from their minimum
+    node. Returns one row per chain: (u, v, length, n_segments,
+    way_ids) — parity shape of the reference's simplified edge list.
+    """
+    eps = endpoint_nodes(edges, u_col, v_col, edge_attr_cols, node_include)
+    ep_only = eps.filter("is_endpoint").select(
+        F.col("node").alias("_ep"), F.lit(True).alias("_is_ep"))
+
+    seg = edges.select(
+        F.col(way_col).alias("wid"),
+        F.col(u_col).alias("su"), F.col(v_col).alias("sv"),
+        F.col(length_col).alias("slen"),
+    )
+    seg = (seg.join(ep_only.withColumnRenamed("_ep", "su"), "su", "left")
+           .withColumnRenamed("_is_ep", "u_ep")
+           .join(ep_only.withColumnRenamed("_ep", "sv"), "sv", "left")
+           .withColumnRenamed("_is_ep", "v_ep")
+           .fillna(False, subset=["u_ep", "v_ep"]))
+
+    weak = connected_components(seg, "su", "sv")
+    seg = seg.join(weak.withColumnRenamed("node", "su"), "su") \
+        .withColumnRenamed("comp", "wcomp")
+
+    def per_component(pdf: pd.DataFrame) -> pd.DataFrame:
+        endpoints = set(pdf.loc[pdf["u_ep"], "su"]) | set(
+            pdf.loc[pdf["v_ep"], "sv"])
+        out_adj: dict = {}
+        for i, (a, b) in enumerate(zip(pdf["su"], pdf["sv"])):
+            out_adj.setdefault(a, []).append((b, i))
+        for k in out_adj:
+            out_adj[k].sort()
+        used = np.zeros(len(pdf), dtype=bool)
+        lens = pdf["slen"].to_numpy()
+        wids = pdf["wid"].to_numpy()
+        rows = []
+
+        def walk(start, first_to, first_i):
+            total = lens[first_i]
+            count, ways = 1, {int(wids[first_i])}
+            used[first_i] = True
+            prev, cur = start, first_to
+            while cur not in endpoints and cur != start:
+                cands = [(x, i) for x, i in out_adj.get(cur, [])
+                         if not used[i]]
+                if not cands:
+                    break
+                fwd = [t for t in cands if t[0] != prev]
+                x, i = (fwd or cands)[0]
+                used[i] = True
+                total += lens[i]; count += 1; ways.add(int(wids[i]))
+                prev, cur = cur, x
+            rows.append((start, cur, round(total, 3), count, sorted(ways)))
+
+        for ep in sorted(endpoints):
+            for to, i in out_adj.get(ep, []):
+                if not used[i]:
+                    walk(ep, to, i)
+        # endpoint-free rings (every node a clean pass-through)
+        while not used.all():
+            i = int(np.nonzero(~used)[0][0])
+            start = min(r for r in (pdf["su"].iloc[i], pdf["sv"].iloc[i]))
+            cands = [(x, j) for x, j in out_adj.get(start, []) if not used[j]]
+            if not cands:
+                used[i] = True  # degenerate: unreachable directed stub
+                continue
+            x, j = cands[0]
+            used[j] = True
+            walk_total, walk_cnt, walk_ways = lens[j], 1, {int(wids[j])}
+            prev, cur = start, x
+            while cur != start:
+                nn = [(y, k) for y, k in out_adj.get(cur, []) if not used[k]]
+                if not nn:
+                    break
+                fwd = [t for t in nn if t[0] != prev]
+                y, k = (fwd or nn)[0]
+                used[k] = True
+                walk_total += lens[k]; walk_cnt += 1
+                walk_ways.add(int(wids[k]))
+                prev, cur = cur, y
+            rows.append((start, cur, round(walk_total, 3), walk_cnt,
+                         sorted(walk_ways)))
+        return pd.DataFrame(rows, columns=["u", "v", "length",
+                                           "n_segments", "way_ids"])
+
+    return seg.groupBy("wcomp").applyInPandas(
+        per_component,
+        schema="u long, v long, length double, n_segments int, "
+               "way_ids array<long>",
+    )
+
+
 def connected_components(edges: DataFrame, u_col: str = "u",
                          v_col: str = "v",
                          contraction_rounds: int = 6) -> DataFrame:

@@ -171,3 +171,89 @@ def test_to_networkx_retain_all(spark, synth_dir):
     g_scc = to_networkx(ndf, edf, "driving", retain_all=False)
     assert g_all.number_of_nodes() >= g_scc.number_of_nodes()
     assert g_all.number_of_edges() > 0
+
+
+# --------------------------------------------------------------------------
+# X2 full form — OSMnx endpoint rules 1-5 + directed chain collapse
+# --------------------------------------------------------------------------
+
+def _edges(spark, rows, attrs=False):
+    schema = "id long, u long, v long, length double"
+    if attrs:
+        schema += ", highway string"
+    return spark.createDataFrame(rows, schema)
+
+
+def _eps(df):
+    from pyrosm_spark.operators.graph import endpoint_nodes
+    return {r["node"] for r in endpoint_nodes(df).filter("is_endpoint").collect()}
+
+
+def test_endpoints_two_way_street(spark):
+    # 1<->2<->3<->4: interior nodes are clean two-way pass-throughs
+    rows = []
+    eid = 0
+    for a, b in [(1, 2), (2, 3), (3, 4)]:
+        rows += [(eid, a, b, 1.0), (eid + 1, b, a, 1.0)]
+        eid += 2
+    e = _edges(spark, rows)
+    assert _eps(e) == {1, 4}
+
+    from pyrosm_spark.operators.graph import simplify_directed_chains
+    chains = simplify_directed_chains(e).collect()
+    assert len(chains) == 2  # one directed chain per direction
+    assert {(c["u"], c["v"]) for c in chains} == {(1, 4), (4, 1)}
+    assert all(c["n_segments"] == 3 and abs(c["length"] - 3.0) < 1e-9
+               for c in chains)
+
+
+def test_endpoints_one_way_chain_and_ring(spark):
+    # one-way chain 1->2->3->4 collapses to a single chain
+    e = _edges(spark, [(0, 1, 2, 1.0), (1, 2, 3, 1.0), (2, 3, 4, 1.0)])
+    assert _eps(e) == {1, 4}  # dead-ends (no in / no out)
+
+    from pyrosm_spark.operators.graph import simplify_directed_chains
+    chains = simplify_directed_chains(e).collect()
+    assert len(chains) == 1
+    c = chains[0]
+    assert (c["u"], c["v"], c["n_segments"]) == (1, 4, 3)
+
+    # endpoint-free one-way ring 1->2->3->1: walked from its min node
+    ring = _edges(spark, [(0, 1, 2, 1.0), (1, 2, 3, 1.0), (2, 3, 1, 1.0)])
+    assert _eps(ring) == set()
+    chains = simplify_directed_chains(ring).collect()
+    assert len(chains) == 1
+    assert (chains[0]["u"], chains[0]["v"]) == (1, 1)
+    assert chains[0]["n_segments"] == 3
+
+
+def test_endpoints_self_loop_and_attr_differ(spark):
+    from pyrosm_spark.operators.graph import (
+        endpoint_nodes, simplify_directed_chains)
+
+    # self-loop at 5 forces an endpoint (rule 1)
+    e = _edges(spark, [(0, 5, 5, 1.0), (1, 5, 6, 1.0)])
+    got = {r["node"] for r in
+           endpoint_nodes(e).filter("is_endpoint").collect()}
+    assert 5 in got
+
+    # rule 5: highway value changes at node 3 -> endpoint there
+    rows = [(0, 1, 2, 1.0, "primary"), (1, 2, 3, 1.0, "primary"),
+            (2, 3, 4, 1.0, "residential")]
+    ea = _edges(spark, rows, attrs=True)
+    eps = {r["node"] for r in
+           endpoint_nodes(ea, edge_attr_cols=("highway",))
+           .filter("is_endpoint").collect()}
+    assert eps == {1, 3, 4}
+    chains = simplify_directed_chains(
+        ea, edge_attr_cols=("highway",)).collect()
+    assert {(c["u"], c["v"]) for c in chains} == {(1, 3), (3, 4)}
+
+
+def test_endpoints_node_include(spark):
+    from pyrosm_spark.operators.graph import simplify_directed_chains
+
+    e = _edges(spark, [(0, 1, 2, 1.0), (1, 2, 3, 1.0), (2, 3, 4, 1.0)])
+    inc = spark.createDataFrame([(2,)], "node long")
+    chains = simplify_directed_chains(e, node_include=inc).collect()
+    assert {(c["u"], c["v"]) for c in chains} == {(1, 2), (2, 4)}
