@@ -143,6 +143,31 @@ def stateful_cell_counts(images: DataFrame, res: int = 12) -> DataFrame:
     )
 
 
+def streaming_exact_dedup(images: DataFrame, event_time_col: str = None,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on content identity: keep the first
+    arrival per (phash, w, h) content key, drop later duplicates.
+
+    The batch analogue is ``dedup.exact_dedup``'s canonical-id
+    selection; on a stream, "minimum id" is undefined over an unbounded
+    input, so the streaming contract is FIRST-ARRIVAL-WINS — the
+    standard ingestion-dedup shape. State is bounded by the watermark
+    when an event-time column is supplied
+    (``dropDuplicatesWithinWatermark``: duplicates are only tracked
+    inside the watermark horizon — at 10^12 rows unbounded dedup state
+    is not an option); without one, state grows with distinct keys
+    (dev/test mode).
+    """
+    keyed = images.withColumn(
+        "content_key",
+        F.concat_ws(":", F.col("phash"), F.col("w"), F.col("h")))
+    if event_time_col is not None:
+        return keyed.withWatermark(
+            event_time_col, watermark
+        ).dropDuplicatesWithinWatermark(["content_key"])
+    return keyed.dropDuplicates(["content_key"])
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "complete"):
     """Drive a streaming query to completion over the currently-present

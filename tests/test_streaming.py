@@ -82,3 +82,23 @@ def test_stateful_cell_counts_matches_batch(spark, synth_dir):
     )
     exp = {r["cell"]: (r["n"], r["b"]) for r in batch.collect()}
     assert final == exp and len(exp) > 10
+
+
+def test_streaming_exact_dedup_first_arrival(spark, synth_dir):
+    """Streaming content dedup: per content key exactly one survivor;
+    survivor count equals the batch distinct-key count."""
+    import os
+
+    from pyrosm_spark.streaming.ingest import (
+        read_images_stream, run_to_memory, streaming_exact_dedup)
+
+    path = os.path.join(synth_dir, "images.parquet")
+    stream = read_images_stream(spark, path, max_files_per_trigger=1)
+    run_to_memory(streaming_exact_dedup(stream), "dedup_stream",
+                  output_mode="append")
+    got = spark.sql("SELECT * FROM dedup_stream")
+    batch = spark.read.parquet(path)
+    n_keys = (batch.selectExpr("concat_ws(':', phash, w, h) AS k")
+              .distinct().count())
+    assert got.count() == n_keys
+    assert got.select("content_key").distinct().count() == n_keys
