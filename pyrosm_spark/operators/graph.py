@@ -140,6 +140,7 @@ def simplify_directed_chains(
     way_col: str = "id",
     edge_attr_cols: tuple = (),
     node_include: DataFrame | None = None,
+    geometry_col: str | None = None,
 ) -> DataFrame:
     """X2 full form — directed chain collapse with OSMnx endpoint rules
     (graph_simplify.py:239-432): endpoints from ``endpoint_nodes``
@@ -150,16 +151,30 @@ def simplify_directed_chains(
     two directed chains. Endpoint-free rings walk from their minimum
     node. Returns one row per chain: (u, v, length, n_segments,
     way_ids) — parity shape of the reference's simplified edge list.
+
+    ``geometry_col`` (WKB linestrings per segment) turns on W5 geometry
+    stitching (graph_simplify.py:172-236): segment coordinates are
+    concatenated in walk order dropping the shared joint vertex.
+    Segments carrying the ``reversed`` marker (set by X1
+    ``directed_edges`` on u/v-swapped copies, whose WKB payload keeps
+    the original orientation) have their coordinates flipped first —
+    the reference's reversal bookkeeping.
     """
     eps = endpoint_nodes(edges, u_col, v_col, edge_attr_cols, node_include)
     ep_only = eps.filter("is_endpoint").select(
         F.col("node").alias("_ep"), F.lit(True).alias("_is_ep"))
 
-    seg = edges.select(
+    seg_cols = [
         F.col(way_col).alias("wid"),
         F.col(u_col).alias("su"), F.col(v_col).alias("sv"),
         F.col(length_col).alias("slen"),
-    )
+    ]
+    if geometry_col is not None:
+        seg_cols.append(F.col(geometry_col).alias("sgeom"))
+        seg_cols.append(
+            (F.col("reversed") if "reversed" in edges.columns
+             else F.lit(False)).alias("srev"))
+    seg = edges.select(*seg_cols)
     seg = (seg.join(ep_only.withColumnRenamed("_ep", "su"), "su", "left")
            .withColumnRenamed("_is_ep", "u_ep")
            .join(ep_only.withColumnRenamed("_ep", "sv"), "sv", "left")
@@ -169,6 +184,8 @@ def simplify_directed_chains(
     weak = connected_components(seg, "su", "sv")
     seg = seg.join(weak.withColumnRenamed("node", "su"), "su") \
         .withColumnRenamed("comp", "wcomp")
+
+    with_geom = geometry_col is not None
 
     def per_component(pdf: pd.DataFrame) -> pd.DataFrame:
         endpoints = set(pdf.loc[pdf["u_ep"], "su"]) | set(
@@ -181,11 +198,30 @@ def simplify_directed_chains(
         used = np.zeros(len(pdf), dtype=bool)
         lens = pdf["slen"].to_numpy()
         wids = pdf["wid"].to_numpy()
+        geoms = pdf["sgeom"].to_numpy() if with_geom else None
+        revs = pdf["srev"].to_numpy() if with_geom else None
         rows = []
 
+        def emit(start, end, order):
+            order = np.asarray(order)
+            total = round(float(lens[order].sum()), 3)
+            ways = sorted({int(w) for w in wids[order]})
+            row = [start, end, total, len(order), ways]
+            if with_geom:
+                from pyrosm_spark.functions.geometry_np import (
+                    parse_wkb, wkb_linestring)
+
+                pts = []
+                for j, si in enumerate(order):
+                    _, coords = parse_wkb(bytes(geoms[si]))
+                    if revs[si]:
+                        coords = coords[::-1]
+                    pts.append(coords if j == 0 else coords[1:])
+                row.append(wkb_linestring(np.concatenate(pts)))
+            rows.append(tuple(row))
+
         def walk(start, first_to, first_i):
-            total = lens[first_i]
-            count, ways = 1, {int(wids[first_i])}
+            order = [first_i]
             used[first_i] = True
             prev, cur = start, first_to
             while cur not in endpoints and cur != start:
@@ -196,9 +232,9 @@ def simplify_directed_chains(
                 fwd = [t for t in cands if t[0] != prev]
                 x, i = (fwd or cands)[0]
                 used[i] = True
-                total += lens[i]; count += 1; ways.add(int(wids[i]))
+                order.append(i)
                 prev, cur = cur, x
-            rows.append((start, cur, round(total, 3), count, sorted(ways)))
+            emit(start, cur, order)
 
         for ep in sorted(endpoints):
             for to, i in out_adj.get(ep, []):
@@ -213,8 +249,8 @@ def simplify_directed_chains(
                 used[i] = True  # degenerate: unreachable directed stub
                 continue
             x, j = cands[0]
+            order = [j]
             used[j] = True
-            walk_total, walk_cnt, walk_ways = lens[j], 1, {int(wids[j])}
             prev, cur = start, x
             while cur != start:
                 nn = [(y, k) for y, k in out_adj.get(cur, []) if not used[k]]
@@ -223,19 +259,19 @@ def simplify_directed_chains(
                 fwd = [t for t in nn if t[0] != prev]
                 y, k = (fwd or nn)[0]
                 used[k] = True
-                walk_total += lens[k]; walk_cnt += 1
-                walk_ways.add(int(wids[k]))
+                order.append(k)
                 prev, cur = cur, y
-            rows.append((start, cur, round(walk_total, 3), walk_cnt,
-                         sorted(walk_ways)))
-        return pd.DataFrame(rows, columns=["u", "v", "length",
-                                           "n_segments", "way_ids"])
+            emit(start, cur, np.array(order))
+        cols = ["u", "v", "length", "n_segments", "way_ids"]
+        if with_geom:
+            cols.append("geometry")
+        return pd.DataFrame(rows, columns=cols)
 
-    return seg.groupBy("wcomp").applyInPandas(
-        per_component,
-        schema="u long, v long, length double, n_segments int, "
-               "way_ids array<long>",
-    )
+    schema = ("u long, v long, length double, n_segments int, "
+              "way_ids array<long>")
+    if with_geom:
+        schema += ", geometry binary"
+    return seg.groupBy("wcomp").applyInPandas(per_component, schema=schema)
 
 
 def connected_components(edges: DataFrame, u_col: str = "u",

@@ -184,13 +184,20 @@ def directed_edges(
     effective direction is in ONEWAY_VALUES or junction=roundabout;
     '-1'/'T' flip u<->v; two-way edges are emitted in both directions.
     """
+    def forward(df: DataFrame) -> DataFrame:
+        return df.withColumn("reversed", F.lit(False))
+
     def flipped(df: DataFrame) -> DataFrame:
+        # ``reversed`` marks u/v-swapped copies whose payload columns
+        # (e.g. segment WKB) still carry the original orientation —
+        # geometry consumers (W5 stitching) reverse on this flag.
         return df.withColumn("_tmp", F.col(from_col)).withColumn(
             from_col, F.col(to_col)
-        ).withColumn(to_col, F.col("_tmp")).drop("_tmp")
+        ).withColumn(to_col, F.col("_tmp")).drop("_tmp").withColumn(
+            "reversed", F.lit(True))
 
     if force_bidirectional:
-        return edges.unionByName(flipped(edges))
+        return forward(edges).unionByName(flipped(edges))
 
     suffix = DIRECTION_SUFFIX.get(network_type)
     base_dir = F.col("tags")["oneway"]
@@ -205,9 +212,8 @@ def directed_edges(
     )
     against = F.coalesce(eff.isin(ONEWAY_AGAINST), F.lit(False))
 
-    along = edges.filter(oneway & ~against)
+    along = forward(edges.filter(oneway & ~against))
     against_df = flipped(edges.filter(oneway & against))
     twoway = edges.filter(~oneway)
-    return along.unionByName(against_df).unionByName(twoway).unionByName(
-        flipped(twoway)
-    )
+    return along.unionByName(against_df).unionByName(forward(twoway)) \
+        .unionByName(flipped(twoway))

@@ -257,3 +257,32 @@ def test_endpoints_node_include(spark):
     inc = spark.createDataFrame([(2,)], "node long")
     chains = simplify_directed_chains(e, node_include=inc).collect()
     assert {(c["u"], c["v"]) for c in chains} == {(1, 2), (2, 4)}
+
+
+def test_directed_chain_geometry_stitching(spark, synth_dir):
+    """W5 — chain geometry: one WKB linestring per chain, built from
+    segment geometries in walk order; joints deduped so a chain of n
+    segments has n+1 points; first/last points sit at the chain's
+    u/v node coordinates."""
+    from pyrosm_spark.functions.geometry_np import parse_wkb
+    from pyrosm_spark.operators.graph import simplify_directed_chains
+    from pyrosm_spark.operators.network import directed_edges, get_network
+    from pyrosm_spark.operators.osm_source import load_osm
+
+    nodes, ways, _ = load_osm(spark, synth_dir)
+    ndf, edf = get_network(nodes, ways, "driving", with_nodes=True)
+    d = directed_edges(edf, "driving")
+    chains = simplify_directed_chains(d, geometry_col="geometry").collect()
+    assert chains
+    coords_by_node = {r["id"]: (r["lon"], r["lat"])
+                      for r in ndf.select("id", "lon", "lat").collect()}
+    for c in chains:
+        _, pts = parse_wkb(bytes(c["geometry"]))
+        assert len(pts) == c["n_segments"] + 1
+        ux, uy = coords_by_node[c["u"]]
+        vx, vy = coords_by_node[c["v"]]
+        assert abs(pts[0][0] - ux) < 1e-9 and abs(pts[0][1] - uy) < 1e-9
+        assert abs(pts[-1][0] - vx) < 1e-9 and abs(pts[-1][1] - vy) < 1e-9
+        # interior joints are contiguous (no gaps): consecutive points differ
+        for a, b in zip(pts[:-1], pts[1:]):
+            assert not (a[0] == b[0] and a[1] == b[1])
