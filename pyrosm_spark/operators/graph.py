@@ -174,6 +174,8 @@ def simplify_directed_chains(
         seg_cols.append(
             (F.col("reversed") if "reversed" in edges.columns
              else F.lit(False)).alias("srev"))
+    for c in edge_attr_cols:
+        seg_cols.append(F.col(c).cast("string").alias(f"attr_{c}"))
     seg = edges.select(*seg_cols)
     seg = (seg.join(ep_only.withColumnRenamed("_ep", "su"), "su", "left")
            .withColumnRenamed("_is_ep", "u_ep")
@@ -200,6 +202,7 @@ def simplify_directed_chains(
         wids = pdf["wid"].to_numpy()
         geoms = pdf["sgeom"].to_numpy() if with_geom else None
         revs = pdf["srev"].to_numpy() if with_geom else None
+        attr_vals = {c: pdf[f"attr_{c}"].to_numpy() for c in edge_attr_cols}
         rows = []
 
         def emit(start, end, order):
@@ -207,6 +210,14 @@ def simplify_directed_chains(
             total = round(float(lens[order].sum()), 3)
             ways = sorted({int(w) for w in wids[order]})
             row = [start, end, total, len(order), ways]
+            # A8 — per-chain attribute merge: rule 5 keeps interior
+            # values uniform, but chains touching an attr-differ
+            # endpoint can still mix; emit sorted distinct values
+            # (len 1 == the reference's "scalar" case)
+            for c in edge_attr_cols:
+                vals = attr_vals[c][order]
+                row.append(sorted({str(x) for x in vals
+                                   if x is not None and x == x}))
             if with_geom:
                 from pyrosm_spark.functions.geometry_np import (
                     parse_wkb, wkb_linestring)
@@ -263,12 +274,15 @@ def simplify_directed_chains(
                 prev, cur = cur, y
             emit(start, cur, np.array(order))
         cols = ["u", "v", "length", "n_segments", "way_ids"]
+        cols += [f"{c}_values" for c in edge_attr_cols]
         if with_geom:
             cols.append("geometry")
         return pd.DataFrame(rows, columns=cols)
 
     schema = ("u long, v long, length double, n_segments int, "
               "way_ids array<long>")
+    for c in edge_attr_cols:
+        schema += f", {c}_values array<string>"
     if with_geom:
         schema += ", geometry binary"
     return seg.groupBy("wcomp").applyInPandas(per_component, schema=schema)

@@ -248,6 +248,9 @@ def test_endpoints_self_loop_and_attr_differ(spark):
     chains = simplify_directed_chains(
         ea, edge_attr_cols=("highway",)).collect()
     assert {(c["u"], c["v"]) for c in chains} == {(1, 3), (3, 4)}
+    # A8 — attribute merge: rule 5 keeps each chain value-uniform here
+    vals = {(c["u"], c["v"]): c["highway_values"] for c in chains}
+    assert vals == {(1, 3): ["primary"], (3, 4): ["residential"]}
 
 
 def test_endpoints_node_include(spark):
