@@ -209,7 +209,9 @@ class OSM:
                  graph_type: str = "networkx",
                  network_type: str = "walking",
                  retain_all: bool = False,
-                 osmnx_compatible: bool = True):
+                 osmnx_compatible: bool = True,
+                 simplify: bool = False,
+                 simplify_kwargs: dict | None = None):
         if graph_type != "networkx":
             raise NotImplementedError(
                 f"graph_type={graph_type!r}: only 'networkx' is "
@@ -220,4 +222,6 @@ class OSM:
 
         return to_networkx(nodes, edges, network_type=network_type,
                            retain_all=retain_all,
-                           osmnx_compatible=osmnx_compatible)
+                           osmnx_compatible=osmnx_compatible,
+                           simplify=simplify,
+                           simplify_kwargs=simplify_kwargs)

@@ -53,6 +53,8 @@ def to_networkx(
     retain_all: bool = False,
     osmnx_compatible: bool = True,
     already_directed: bool = False,
+    simplify: bool = False,
+    simplify_kwargs: dict | None = None,
     from_col: str = "u",
     to_col: str = "v",
     node_id_col: str = "id",
@@ -62,7 +64,10 @@ def to_networkx(
 
     The distributed stages run first — directed-edge generation (X1),
     largest-strongly-connected-component retention (X3, unless
-    ``retain_all``), endpoint-node retention (J9) — and only the final
+    ``retain_all``), optional topological simplification (X2,
+    ``simplify=True``: chains of pass-through nodes collapse into
+    single edges with summed length, way-id sets and stitched WKB
+    geometry), endpoint-node retention (J9) — and only the final
     frames are collected. Mirrors `graphs.py:133-245` `to_networkx`.
     """
     import networkx as nx
@@ -76,6 +81,15 @@ def to_networkx(
     if not retain_all:
         edges = largest_component_edges(edges, from_col, to_col,
                                         strongly=True)
+    if simplify:
+        from pyrosm_spark.operators.graph import simplify_directed_chains
+
+        kw = dict(simplify_kwargs or {})
+        if "geometry_col" not in kw and "geometry" in edges.columns:
+            kw["geometry_col"] = "geometry"
+        edges = simplify_directed_chains(
+            edges, u_col=from_col, v_col=to_col, **kw)
+        from_col, to_col = "u", "v"  # chain schema is fixed
 
     endpoint_ids = (
         edges.select(F.col(from_col).alias(node_id_col))

@@ -33,7 +33,9 @@ _CYCLE_EXCLUDE_HIGHWAY = [
 
 def network_filter(network_type: str) -> dict | None:
     """Exclude-filter dict per network type (config/osm_filters.py)."""
-    if network_type in ("driving", "driving+psv"):
+    # "driving+service" is the user-facing alias the reference maps to
+    # its psv-inclusive driving filter (pyrosm.py:290-291)
+    if network_type in ("driving", "driving+psv", "driving+service"):
         f = {
             "area": ["yes"],
             "highway": list(_DRIVE_EXCLUDE_HIGHWAY),

@@ -114,3 +114,13 @@ def test_tags_to_keep_and_extra_attributes(osm):
     assert "name" not in narrowed.columns
     assert "building" in narrowed.columns
     assert set(default.columns) <= set(widened.columns) | {"height"}
+
+
+def test_driving_service_alias(osm):
+    """'driving+service' == the psv-inclusive driving filter
+    (pyrosm.py:290-291): superset of plain driving (psv ways return)."""
+    drv = {r["id"] for r in
+           osm.get_network("driving").select("id").collect()}
+    svc = {r["id"] for r in
+           osm.get_network("driving+service").select("id").collect()}
+    assert drv <= svc

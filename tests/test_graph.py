@@ -289,3 +289,30 @@ def test_directed_chain_geometry_stitching(spark, synth_dir):
         # interior joints are contiguous (no gaps): consecutive points differ
         for a, b in zip(pts[:-1], pts[1:]):
             assert not (a[0] == b[0] and a[1] == b[1])
+
+
+def test_to_networkx_simplified(spark, synth_dir):
+    """simplify=True export: pass-through nodes collapse — strictly
+    fewer (or equal) edges and nodes than the unsimplified export, and
+    no remaining node is a clean pass-through."""
+    nx = pytest.importorskip("networkx")
+
+    from pyrosm_spark.operators.export import to_networkx
+    from pyrosm_spark.operators.network import get_network
+    from pyrosm_spark.operators.osm_source import load_osm
+
+    nodes, ways, _ = load_osm(spark, synth_dir)
+    ndf, edf = get_network(nodes, ways, "driving", with_nodes=True)
+    g_full = to_networkx(ndf, edf, "driving")
+    g_simp = to_networkx(ndf, edf, "driving", simplify=True)
+    assert g_simp.number_of_edges() <= g_full.number_of_edges()
+    assert g_simp.number_of_nodes() <= g_full.number_of_nodes()
+    assert g_simp.number_of_edges() > 0
+    # every surviving node fails the clean-pass-through test
+    for n in g_simp.nodes():
+        nbrs = (set(g_simp.successors(n)) | set(g_simp.predecessors(n)))
+        deg = g_simp.in_degree(n) + g_simp.out_degree(n)
+        assert not (len(nbrs - {n}) == 2 and deg in (2, 4) and n not in nbrs)
+    # chain edges carry stitched geometry + way id sets
+    _, _, attrs = next(iter(g_simp.edges(data=True)))
+    assert "way_ids" in attrs and "geometry" in attrs
