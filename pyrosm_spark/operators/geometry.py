@@ -152,23 +152,33 @@ def _pts_to_np(pts_row) -> np.ndarray:
 
 
 @F.pandas_udf(T.BinaryType())
-def way_geometry_wkb(pts: pd.Series, is_polygon: pd.Series) -> pd.Series:
-    """Way geometry: Polygon for closed areas, LineString otherwise;
-    None for <2 points (dropped downstream) — G2/G3
-    (geometry.pyx:404-620, vectorized there with shapely, here numpy)."""
+def _way_wkb_from_arrays(lons: pd.Series, lats: pd.Series,
+                         is_polygon: pd.Series) -> pd.Series:
+    """Way geometry kernel: Polygon for closed areas, LineString
+    otherwise; None for <2 points (dropped downstream) — G2/G3
+    (geometry.pyx:404-620, vectorized there with shapely, here numpy).
+
+    Inputs are parallel array<double> columns: Arrow hands each row
+    over as a ready numpy float64 array (the earlier array<struct>
+    form deserialized to per-point Python dicts — measured ~5x slower
+    end-to-end on a 475k-way world). Degeneracy needs only the area
+    test: a ring with <3 distinct vertices always has zero signed
+    area.
+    """
     out = []
-    for row, poly in zip(pts, is_polygon):
-        coords = _pts_to_np(row)
-        if len(coords) < 2:
+    for lo, la, poly in zip(lons, lats, is_polygon):
+        n = len(lo)
+        if n < 2:
             out.append(None)
             continue
+        coords = np.empty((n, 2), dtype=np.float64)
+        coords[:, 0] = lo
+        coords[:, 1] = la
         if poly:
             ring = coords
-            if not (ring[0] == ring[-1]).all():
+            if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
                 ring = np.vstack([ring, ring[:1]])  # auto-close (shapely does)
-            # ring viability: >= 3 distinct vertices and non-zero area
-            if len(np.unique(ring[:-1], axis=0)) >= 3 and \
-                    abs(G.signed_area(ring)) > 0.0:
+            if abs(G.signed_area(ring)) > 0.0:
                 out.append(G.wkb_polygon([G.orient_ring(ring, ccw=True)]))
             else:
                 out.append(None)  # degenerate ring -> dropped (reference
@@ -176,6 +186,16 @@ def way_geometry_wkb(pts: pd.Series, is_polygon: pd.Series) -> pd.Series:
         else:
             out.append(G.wkb_linestring(coords))
     return pd.Series(out)
+
+
+def way_geometry_wkb(pts_col, is_polygon_col) -> Column:
+    """G2/G3 entry: projects the pts struct array into two native
+    array<double> columns before the Arrow hop, so Python never sees
+    per-point structs. Field extraction is ``GetArrayStructFields``
+    (codegen), not an interpreted ``transform`` lambda."""
+    pts_col = pts_col if isinstance(pts_col, Column) else F.col(pts_col)
+    return _way_wkb_from_arrays(
+        pts_col.getField("lon"), pts_col.getField("lat"), is_polygon_col)
 
 
 @F.pandas_udf(T.BinaryType())

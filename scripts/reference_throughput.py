@@ -1,0 +1,112 @@
+"""Direct single-node throughput comparison against the reference's
+published numbers (BASELINE.md / docs/benchmarks in the reference):
+
+- parse+assemble 478,485-way region: 6.8-7.9 s (~60-70k ways/s, 1 core)
+- get_network end-to-end same file: 11.5-12.8 s (~37-42k ways/s)
+- buildings out-of-core 10 workers: 46-76k features/s
+
+This script times the same queries over a synthetic world generated at
+the SAME way count (grid=400 -> ~480k ways), end-to-end from columnar
+scan to materialized geometry (forced via an aggregate over the WKB
+column so Catalyst cannot prune the geometry UDF). Input format differs
+by design — the engine starts from parquet, the reference parses PBF;
+the reference's own parse stage is included in its numbers, our scan
+stage is included in ours.
+
+Writes a section into BENCH/BASELINE.md. Run: python
+scripts/reference_throughput.py [cpus ...] (default: 1 8)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+GRID = 400
+DATA = os.path.join(REPO, "data", "ref_scale400")
+
+
+def run_level(cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from pyrosm_spark.operators.layers import get_buildings
+    from pyrosm_spark.operators.network import get_network
+    from pyrosm_spark.operators.osm_source import load_osm
+    from pyrosm_spark.session import get_spark
+
+    spark = get_spark(
+        f"ref_throughput_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 8),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
+    )
+    nodes, ways, rels = load_osm(spark, DATA)
+    n_ways = ways.count()
+
+    def materialize(df):
+        # sum of WKB lengths forces full geometry assembly per row
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("geometry")).alias("b")).collect()[0]
+
+    t0 = time.time()
+    net = materialize(get_network(nodes, ways, "driving"))
+    t_net = time.time() - t0
+
+    t0 = time.time()
+    bld = materialize(get_buildings(nodes, ways, rels))
+    t_bld = time.time() - t0
+
+    spark.stop()
+    return {
+        "cpus": cpus, "n_ways_table": n_ways,
+        "net_rows": net["n"], "net_sec": round(t_net, 2),
+        "net_rows_per_sec": int(net["n"] / t_net),
+        "ways_scanned_per_sec": int(n_ways / t_net),
+        "bld_rows": bld["n"], "bld_sec": round(t_bld, 2),
+        "bld_rows_per_sec": int(bld["n"] / t_bld),
+    }
+
+
+def main():
+    from pyrosm_spark.synth import ensure_osm_tables
+
+    levels = [int(a) for a in sys.argv[1:]] or [1, 8]
+    t0 = time.time()
+    ensure_osm_tables(DATA, grid=GRID, seed=42)
+    print(f"world ready in {time.time() - t0:.1f}s")
+    results = [run_level(c) for c in levels]
+    for r in results:
+        print(r)
+
+    lines = [
+        "",
+        "## Reference-comparable single-node throughput "
+        f"(~{results[0]['n_ways_table']:,}-way world, grid={GRID})",
+        "",
+        "Reference numbers (its own benchmarks, 478,485-way region): "
+        "network end-to-end ~37-42k ways/s (1 core); buildings "
+        "out-of-core ~46-76k features/s (10 workers).",
+        "",
+        "| cpus | driving network e2e | buildings e2e |",
+        "|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| local[{r['cpus']}] | {r['net_rows']:,} edges in "
+            f"{r['net_sec']}s = {r['net_rows_per_sec']:,} rows/s "
+            f"({r['ways_scanned_per_sec']:,} table-ways/s) | "
+            f"{r['bld_rows']:,} features in {r['bld_sec']}s = "
+            f"{r['bld_rows_per_sec']:,} feat/s |")
+    lines.append("")
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write("\n".join(lines))
+    print("appended to BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
