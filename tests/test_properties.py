@@ -1,0 +1,180 @@
+"""Property-based tests (hypothesis) over the pure-python kernels.
+
+The reference has no property testing (SURVEY.md §5); these go beyond
+its strategy for the kernels where randomized inputs pay: the tile
+index algebra, the WKB codec, the filter compiler's driver-side oracle,
+and geometry primitives. No Spark — milliseconds per case.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyrosm_spark.functions import geometry_np as G
+from pyrosm_spark.functions import tiles
+
+lons = st.floats(min_value=-180.0, max_value=180.0,
+                 allow_nan=False, allow_infinity=False)
+lats = st.floats(min_value=-90.0, max_value=90.0,
+                 allow_nan=False, allow_infinity=False)
+resolutions = st.integers(min_value=0, max_value=20)
+
+
+# --------------------------------------------------------------------------
+# Tile index algebra
+# --------------------------------------------------------------------------
+
+@given(lons, lats, resolutions)
+def test_encode_decode_roundtrip(lon, lat, res):
+    cell = tiles.encode_py(lon, lat, res)
+    r, x, y = tiles.decode_py(cell)
+    assert r == res
+    assert 0 <= x < (1 << res) and 0 <= y < (1 << res)
+
+
+@given(lons, lats, resolutions)
+def test_point_inside_own_cell_bounds(lon, lat, res):
+    cell = tiles.encode_py(lon, lat, res)
+    xmin, ymin, xmax, ymax = tiles.cell_bounds_py(cell)
+    # clamping at +180/+90 puts the point in the last cell, whose upper
+    # bound equals the domain edge — closed on both sides there; a 1-ulp
+    # tolerance covers float truncation at cell edges
+    eps = 1e-9
+    assert xmin - eps <= lon <= max(xmax, 180.0) + eps
+    assert ymin - eps <= lat <= max(ymax, 90.0) + eps
+
+
+@given(lons, lats, st.integers(min_value=1, max_value=18))
+def test_parent_contains_child(lon, lat, res):
+    child = tiles.encode_py(lon, lat, res)
+    _, cx, cy = tiles.decode_py(child)
+    parent = tiles.encode_py(lon, lat, res - 1)
+    _, px, py = tiles.decode_py(parent)
+    assert (cx >> 1, cy >> 1) == (px, py)
+
+
+@given(st.lists(st.tuples(lons, lats), min_size=1, max_size=20),
+       st.integers(min_value=1, max_value=10))
+@settings(deadline=None)
+def test_compact_uncompact_identity(points, res):
+    cells = sorted({tiles.encode_py(lo, la, res) for lo, la in points})
+    compacted = tiles.compact_py(cells)
+    restored = tiles.uncompact_py(compacted, res)
+    assert set(cells) <= set(restored)  # cover never shrinks
+    assert len(compacted) <= len(cells)  # never grows
+    # every restored cell is at res and within a compacted ancestor
+    assert all(tiles.decode_py(c)[0] == res for c in restored)
+
+
+@given(lons, lats, st.integers(min_value=2, max_value=12),
+       st.integers(min_value=0, max_value=3))
+def test_neighbors_block(lon, lat, res, ring):
+    cell = tiles.encode_py(lon, lat, res)
+    nbrs = tiles.neighbors_py(cell, ring)
+    assert cell in nbrs
+    assert len(nbrs) <= (2 * ring + 1) ** 2
+    assert len(set(nbrs)) == len(nbrs)
+    _, x, y = tiles.decode_py(cell)
+    for nb in nbrs:
+        _, nx, ny = tiles.decode_py(nb)
+        assert abs(nx - x) <= ring and abs(ny - y) <= ring
+
+
+@given(st.tuples(lons, lons), st.tuples(lats, lats),
+       st.integers(min_value=0, max_value=8))
+def test_bbox_cover_contains_inner_points(lon_pair, lat_pair, res):
+    x0, x1 = sorted(lon_pair)
+    y0, y1 = sorted(lat_pair)
+    cover = set(tiles.bbox_cover_py(x0, y0, x1, y1, res))
+    assert cover
+    # the corners' cells are always in the cover
+    for lo, la in [(x0, y0), (x0, y1), (x1, y0), (x1, y1),
+                   ((x0 + x1) / 2, (y0 + y1) / 2)]:
+        assert tiles.encode_py(lo, la, res) in cover
+
+
+# --------------------------------------------------------------------------
+# WKB codec
+# --------------------------------------------------------------------------
+
+coords_arrays = st.lists(st.tuples(lons, lats), min_size=2, max_size=30).map(
+    lambda pts: np.array(pts, dtype=np.float64))
+
+
+@given(coords_arrays)
+def test_wkb_linestring_roundtrip(coords):
+    t, back = G.parse_wkb(G.wkb_linestring(coords))
+    assert t == G.WKB_LINESTRING
+    assert np.array_equal(back, coords)
+
+
+@given(lons, lats)
+def test_wkb_point_roundtrip(lon, lat):
+    t, (x, y) = G.parse_wkb(G.wkb_point(lon, lat))
+    assert t == G.WKB_POINT and x == lon and y == lat
+
+
+@given(st.lists(st.tuples(lons, lats), min_size=3, max_size=15))
+def test_wkb_polygon_roundtrip_and_orientation(pts):
+    ring = np.array(pts + pts[:1], dtype=np.float64)
+    t, rings = G.parse_wkb(G.wkb_polygon([ring]))
+    assert t == G.WKB_POLYGON
+    assert np.array_equal(rings[0], ring)
+    oriented = G.orient_ring(ring, ccw=True)
+    # below ~1e-12 deg^2 the shoelace sum is float cancellation noise
+    # and reversal cannot reliably flip its sign — not a real ring
+    if abs(G.signed_area(ring)) > 1e-12:
+        assert G.signed_area(oriented) > 0  # CCW = positive area
+        # orientation preserves the point SET
+        assert {tuple(p) for p in oriented} == {tuple(p) for p in ring}
+
+
+# --------------------------------------------------------------------------
+# Filter compiler oracle semantics
+# --------------------------------------------------------------------------
+
+tag_keys = st.sampled_from(["highway", "building", "amenity", "name", "x"])
+tag_dicts = st.dictionaries(
+    tag_keys, st.sampled_from(["residential", "yes", "no", "shop", "1"]),
+    max_size=4)
+
+
+@given(tag_dicts, tag_keys,
+       st.sampled_from(["residential", "yes", "missing"]))
+def test_condition_negation_partition(tags, key, value):
+    """eq/ne and exists/nexists partition every tag dict (Overpass
+    semantics: negative operators accept key-absent rows)."""
+    from pyrosm_spark.functions.filters import Condition
+
+    eq = Condition(key, "eq", value)
+    ne = Condition(key, "ne", value)
+    assert eq.matches(tags) != ne.matches(tags)
+    ex = Condition(key, "exists")
+    nex = Condition(key, "nexists")
+    assert ex.matches(tags) != nex.matches(tags)
+
+
+@given(tag_dicts)
+def test_dict_filter_matches_solver_semantics(tags):
+    """The compiled dict filter agrees with an independent evaluation
+    of the reference's Solver rule (data_filter.pyx:16-36): OR across
+    keys, True = any value, list = value membership."""
+    from pyrosm_spark.functions.filters import CompiledFilter, _dict_to_groups
+
+    spec = {"highway": ["residential", "yes"], "building": True}
+    f = CompiledFilter(_dict_to_groups(spec))
+    expected = ("highway" in tags
+                and tags["highway"] in ("residential", "yes")) or \
+        ("building" in tags)
+    assert f.matches(tags) == expected
+
+
+@given(tag_dicts)
+def test_bracket_parser_matches_dict_form(tags):
+    """'["k"="v"]' bracket form and {"k": ["v"]} dict form agree."""
+    from pyrosm_spark.functions.filters import (
+        CompiledFilter, _dict_to_groups, parse_bracket_filter)
+
+    bracket = CompiledFilter(parse_bracket_filter('["highway"="residential"]'))
+    dictf = CompiledFilter(_dict_to_groups({"highway": ["residential"]}))
+    assert bracket.matches(tags) == dictf.matches(tags)
