@@ -145,6 +145,21 @@ def bbox_struct(pts: Column = None) -> Column:
 # WKB constructors (Arrow-batched pandas UDFs over numpy kernels)
 # --------------------------------------------------------------------------
 
+def spread_for_udf(df: DataFrame) -> DataFrame:
+    """Give the next Arrow-UDF stage its own exchange.
+
+    Without it the geometry UDF fuses into the same task as the
+    coordinate join's final aggregation; the per-task Arrow round-trip
+    then serializes against the join machinery and AQE's byte-based
+    coalescing under-parallelizes the CPU-dense work (measured 2.5x on
+    a 475k-way world, stable across partition counts). The cost is one
+    exchange of the pts frame — one extra pass over the coordinate
+    payload, bought back by a clean, evenly-sized Python stage.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n)
+
+
 def _pts_to_np(pts_row) -> np.ndarray:
     if pts_row is None or len(pts_row) == 0:
         return np.empty((0, 2), dtype=np.float64)
@@ -159,32 +174,81 @@ def _way_wkb_from_arrays(lons: pd.Series, lats: pd.Series,
     (geometry.pyx:404-620, vectorized there with shapely, here numpy).
 
     Inputs are parallel array<double> columns: Arrow hands each row
-    over as a ready numpy float64 array (the earlier array<struct>
-    form deserialized to per-point Python dicts — measured ~5x slower
-    end-to-end on a 475k-way world). Degeneracy needs only the area
-    test: a ring with <3 distinct vertices always has zero signed
-    area.
+    over as ready numpy float64 arrays (the array<struct> form
+    deserialized to per-point Python dicts — ~5x slower end-to-end).
+    The whole batch is flattened once; shoelace areas (closure-term
+    corrected), auto-close detection, and CCW orientation are computed
+    vectorized over the flat arrays, so the per-row Python work is one
+    header pack + one contiguous ``tobytes``. Degeneracy needs only
+    the area test: a ring with <3 distinct vertices has zero area.
     """
+    import struct
+
+    n_rows = len(lons)
+    if n_rows == 0:
+        return pd.Series([], dtype=object)
+    arrs = list(lons)
+    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n_rows)
+    off = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    total = int(off[-1])
+    flat = np.empty((total, 2), dtype="<f8")
+    flat[:, 0] = np.concatenate(arrs) if total else []
+    flat[:, 1] = np.concatenate(list(lats)) if total else []
+    x, y = flat[:, 0], flat[:, 1]
+
+    # per-row shoelace over stored points with implicit closure:
+    # open-segment cross terms summed per row + the last->first term.
+    # Coordinates are translated to each row's first vertex first —
+    # the standard conditioning trick: absolute lon/lat products
+    # cancel to ~1e-11 float noise, translated ones to ~1e-19, so the
+    # degeneracy threshold below cleanly separates noise from any
+    # real ring (a 10 cm feature is ~1e-12 deg^2).
+    valid = lens >= 2
+    first_i, last_i = off[:-1].clip(max=max(total - 1, 0)), off[1:] - 1
+    xt = x - np.repeat(x[first_i], lens)
+    yt = y - np.repeat(y[first_i], lens)
+    starts = off[:-1].clip(max=max(total - 1, 0))
+    if total > 1:
+        terms = xt[:-1] * yt[1:] - xt[1:] * yt[:-1]
+        seg_sum = np.add.reduceat(terms, starts)
+        # reduceat windows run to the next start: subtract the term that
+        # crosses the row boundary (absent for the final row)
+        cross = np.zeros(n_rows)
+        cross[:-1] = terms[(off[1:-1] - 1).clip(min=0)]
+        single = lens <= 1  # windows of width 0/1 are meaningless
+        seg_sum = np.where(single, 0.0, seg_sum - np.where(
+            np.arange(n_rows) < n_rows - 1, cross, 0.0))
+    else:
+        seg_sum = np.zeros(n_rows)
+    # the last->first closure term is identically 0 in translated
+    # coordinates (first vertex sits at the origin)
+    area2 = seg_sum  # 2*signed area of the implicitly-closed ring
+    degenerate = np.abs(area2) < 1e-16
+    is_closed = (x[first_i] == x[last_i]) & (y[first_i] == y[last_i])
+
+    poly_flags = is_polygon.to_numpy()
+    hdr_line = struct.pack("<BI", 1, G.WKB_LINESTRING)
+    hdr_poly = struct.pack("<BII", 1, G.WKB_POLYGON, 1)
     out = []
-    for lo, la, poly in zip(lons, lats, is_polygon):
-        n = len(lo)
-        if n < 2:
+    for i in range(n_rows):
+        if not valid[i]:
             out.append(None)
             continue
-        coords = np.empty((n, 2), dtype=np.float64)
-        coords[:, 0] = lo
-        coords[:, 1] = la
-        if poly:
-            ring = coords
-            if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
-                ring = np.vstack([ring, ring[:1]])  # auto-close (shapely does)
-            if abs(G.signed_area(ring)) > 0.0:
-                out.append(G.wkb_polygon([G.orient_ring(ring, ccw=True)]))
-            else:
-                out.append(None)  # degenerate ring -> dropped (reference
-                #                   returns None, frames drops the row)
-        else:
-            out.append(G.wkb_linestring(coords))
+        s, e = off[i], off[i + 1]
+        if not poly_flags[i]:
+            out.append(hdr_line + struct.pack("<I", int(lens[i]))
+                       + flat[s:e].tobytes())
+            continue
+        if degenerate[i]:
+            out.append(None)  # degenerate ring -> dropped (reference
+            #                   returns None, frames drops the row)
+            continue
+        ring = flat[s:e] if area2[i] > 0 else flat[s:e][::-1]  # CCW
+        npts = int(lens[i]) + (0 if is_closed[i] else 1)
+        body = ring.tobytes() if is_closed[i] else (
+            ring.tobytes() + ring[:1].tobytes())
+        out.append(hdr_poly + struct.pack("<I", npts) + body)
     return pd.Series(out)
 
 

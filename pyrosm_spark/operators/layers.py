@@ -87,7 +87,7 @@ def get_layer(
     if member_ids is not None:
         # J4: ways consumed by a kept relation leave the standalone output
         kept_ways = kept_ways.join(member_ids, "id", "left_anti")
-    w = geom.way_coordinates(kept_ways, nodes)
+    w = geom.spread_for_udf(geom.way_coordinates(kept_ways, nodes))
     w = w.filter(geom.pts_size() >= 2)
     w = w.withColumn(
         "_poly",

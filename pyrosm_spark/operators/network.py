@@ -90,7 +90,7 @@ def get_network(
     if bbox is not None:
         w = ways_in_bbox(w, nodes, bbox)
 
-    w = geom.way_coordinates(w, nodes)
+    w = geom.spread_for_udf(geom.way_coordinates(w, nodes))
     w = w.filter(geom.pts_size() >= 2)  # <2 resolvable refs -> dropped
 
     if not with_nodes:

@@ -151,9 +151,9 @@ def assemble_relations(
     member_ways = members.join(
         ways.select(F.col("id").alias("way_id"), "refs"), "way_id", "inner"
     )
-    with_pts = geom.way_coordinates(
+    with_pts = geom.spread_for_udf(geom.way_coordinates(
         member_ways.withColumnRenamed("way_id", "id"), nodes
-    ).filter(geom.pts_size() >= 2)
+    ).filter(geom.pts_size() >= 2))
     member_lines = with_pts.withColumn(
         "_line", geom.way_geometry_wkb(F.col(geom.PTS_FIELD), F.lit(False))
     )
