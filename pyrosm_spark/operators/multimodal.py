@@ -111,3 +111,54 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
         "video frame sampling requires an ffmpeg/pyav build; "
         "swap this stub when the dependency is available"
     )
+
+
+# --------------------------------------------------------------------------
+# Audio modality (same plumbing contract; pcm16 decodes for real)
+# --------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = (
+    "audio_id string, ok boolean, err string, n_samples int, "
+    "duration_ms_computed int, rms double, zcr double, peak double, "
+    "duration_match boolean"
+)
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Decode every audio payload and emit per-clip features + the
+    metadata invariant (computed duration == recorded duration_ms).
+
+    Input schema: (audio_id string, bytes binary, sample_rate int,
+    n_channels int, fmt string, duration_ms int). ``pcm16`` rows decode
+    with numpy (functions.audio_np); compressed rows surface their
+    NotImplementedError in the ``err`` column instead of failing the
+    job — the decode swap point for a real codec on a cluster.
+    """
+    from pyrosm_spark.functions import audio_np as A
+
+    def batch_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    wave = A.decode_audio(bytes(r.bytes), r.fmt,
+                                          r.n_channels)
+                    n = len(wave)
+                    dur = int(round(n * 1000.0 / r.sample_rate))
+                    rows.append((r.audio_id, True, None, n, dur,
+                                 round(A.rms_energy(wave), 6),
+                                 round(A.zero_crossing_rate(wave), 6),
+                                 round(A.peak_amplitude(wave), 6),
+                                 dur == r.duration_ms))
+                except NotImplementedError as e:
+                    rows.append((r.audio_id, False, str(e), None, None,
+                                 None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "audio_id", "ok", "err", "n_samples",
+                "duration_ms_computed", "rms", "zcr", "peak",
+                "duration_match"])
+
+    cols = ["audio_id", "bytes", "sample_rate", "n_channels", "fmt",
+            "duration_ms"]
+    return audio.select(*cols).mapInPandas(batch_fn,
+                                           schema=AUDIO_FEATURE_SCHEMA)

@@ -232,3 +232,41 @@ def test_blocked_self_join_equals_plain(spark, docs, synth_dir):
     p2 = {(r["img_a"], r["img_b"], r["hamming"]) for r in
           D.phash_pairs(images, max_hamming=4, n_blocks=8).collect()}
     assert p1 == p2 and len(p1) > 0
+
+
+def test_audio_features_invariants(spark, tmp_path_factory):
+    """Audio modality plumbing: pcm16 rows decode for real (duration
+    invariant holds, energy/zcr in range); compressed rows surface the
+    stub error per row without failing the job."""
+    import os
+
+    from pyrosm_spark.operators.multimodal import audio_features
+    from pyrosm_spark.synth import ensure_audio_table
+
+    path = os.path.join(str(tmp_path_factory.mktemp("aud")), "audio.parquet")
+    ensure_audio_table(path, n_rows=100, seed=42)
+    audio = spark.read.parquet(path)
+    feats = audio_features(audio).collect()
+    assert len(feats) == 100
+    ok = [r for r in feats if r["ok"]]
+    bad = [r for r in feats if not r["ok"]]
+    assert len(bad) == 10  # every 10th row is the mp3 stub path
+    assert all("pcm16" in r["err"] for r in bad)
+    for r in ok:
+        assert r["duration_match"], r
+        assert 0.0 < r["rms"] < 1.0
+        assert 0.0 <= r["zcr"] <= 1.0
+        assert 0.0 < r["peak"] <= 1.0
+
+
+def test_audio_pcm16_roundtrip():
+    """encode_pcm16 -> decode_audio is lossless to int16 resolution."""
+    import numpy as np
+
+    from pyrosm_spark.functions.audio_np import decode_audio, encode_pcm16
+
+    rng = np.random.default_rng(1)
+    wave = rng.uniform(-1, 1, (1000, 2))
+    back = decode_audio(encode_pcm16(wave), "pcm16", n_channels=2)
+    assert back.shape == (1000, 2)
+    assert np.abs(back - np.clip(wave, -1, 1)).max() < 1.0 / 32767 + 1e-9
