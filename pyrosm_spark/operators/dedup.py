@@ -436,6 +436,63 @@ def simhash64(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def simhash_pairs_sql(table: str = "documents",
+                      max_hamming: int = 8) -> str:
+    """DuckDB mirror of simhash64 + banded pairs: md5-prefix 64-bit
+    token hashes, per-bit +-1 accumulation, sign -> bit; bands are the
+    16-bit chunks; pairs deduped by DISTINCT (set-equal to the Spark
+    side's first-matching-band emission)."""
+    toks = tokens_sql("text")
+    two63, two64 = 1 << 63, 1 << 64
+    return f"""
+        WITH tok AS (
+            SELECT doc_id AS doc, unnest({toks}) AS t FROM {table}
+        ),
+        th AS (
+            SELECT doc,
+                   CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h
+            FROM tok
+        ),
+        bits AS (
+            SELECT doc, b.b,
+                   sum(CASE WHEN (h >> CAST(b.b AS UBIGINT))
+                                 & CAST(1 AS UBIGINT) = 1
+                       THEN 1 ELSE -1 END) AS acc
+            FROM th, (SELECT unnest(generate_series(0, 63)) AS b) b
+            GROUP BY doc, b.b
+        ),
+        sim AS (
+            SELECT doc,
+                   sum(CASE WHEN acc > 0
+                       THEN CAST(1 AS HUGEINT) << CAST(b AS INT)
+                       ELSE 0 END) AS uval
+            FROM bits GROUP BY doc
+        ),
+        banded AS (
+            SELECT doc, uval, b.band,
+                   CAST((uval >> CAST(16 * b.band AS INT)) % 65536
+                        AS BIGINT) AS key
+            FROM sim, (SELECT unnest([0, 1, 2, 3]) AS band) b
+        )
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+               bit_count(xor(CAST(CASE WHEN a.uval >= {two63}
+                                  THEN a.uval - {two64}
+                                  ELSE a.uval END AS BIGINT),
+                             CAST(CASE WHEN b.uval >= {two63}
+                                  THEN b.uval - {two64}
+                                  ELSE b.uval END AS BIGINT))) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+        WHERE bit_count(xor(CAST(CASE WHEN a.uval >= {two63}
+                                 THEN a.uval - {two64}
+                                 ELSE a.uval END AS BIGINT),
+                            CAST(CASE WHEN b.uval >= {two63}
+                                 THEN b.uval - {two64}
+                                 ELSE b.uval END AS BIGINT)))
+              <= {max_hamming}
+    """
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
                   text_col: str = "text", id_col: str = "doc_id",
                   n_blocks: int = 1) -> DataFrame:
