@@ -126,6 +126,58 @@ def make_bucket_udf(dim: int, n_planes: int = N_PLANES, n_tables: int = 1):
     return lsh_buckets
 
 
+def ann_lsh_sql(table: str = "embeddings", k: int = 5, dim: int = 64,
+                n_planes: int = 6, n_tables: int = 8,
+                query_filter: str = "q.vec_id < 20") -> str:
+    """DuckDB mirror of ``ann_topk_lsh``: the seeded hyperplanes are
+    embedded as SQL list literals (repr round-trips float64 exactly),
+    bucket codes via ``list_dot_product`` sign patterns, then the same
+    candidate-join + exact-cosine + top-k ranking. The ANN result is
+    deterministic — 'approximate' refers to recall, not randomness —
+    so it value-checks like any other oracle."""
+    rows = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, t)
+        for p in range(n_planes):
+            lit = "[" + ", ".join(repr(float(w)) for w in planes[p]) + "]"
+            weight = 1 << (n_planes - 1 - p)  # MSB-first, as the kernel
+            rows.append(f"SELECT {t} AS tbl, {weight} AS w, "
+                        f"CAST({lit} AS DOUBLE[]) AS plane")
+    planes_sql = " UNION ALL ".join(rows)
+    cos = ("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+           "CAST(c.embedding AS DOUBLE[]))")
+    return f"""
+        WITH planes AS ({planes_sql}),
+        buckets AS (
+            SELECT e.vec_id, p.tbl,
+                   CAST(sum(CASE WHEN list_dot_product(
+                            CAST(e.embedding AS DOUBLE[]), p.plane) > 0
+                        THEN p.w ELSE 0 END)
+                        + p.tbl * {1 << n_planes} AS BIGINT) AS bucket
+            FROM {table} e, planes p
+            GROUP BY e.vec_id, p.tbl
+        ),
+        cand AS (
+            SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+            FROM buckets qb JOIN buckets cb ON qb.bucket = cb.bucket
+            WHERE qb.vec_id != cb.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id, round({cos}, 6) AS cosine
+            FROM cand
+            JOIN {table} q ON q.vec_id = cand.query_id
+            JOIN {table} c ON c.vec_id = cand.neighbor_id
+            WHERE {query_filter}
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
