@@ -168,11 +168,14 @@ class OSM:
 
     def get_boundaries(self, boundary_type: str = "administrative",
                        name: str | None = None, custom_filter=None,
-                       timestamp=None) -> DataFrame:
+                       timestamp=None, tags_to_keep=None,
+                       extra_attributes=None) -> DataFrame:
         n, w, r = self._src(timestamp)
-        return L.get_boundaries(n, w, r, boundary_type=boundary_type,
-                                name=name, custom_filter=custom_filter,
-                                bbox=self.bounding_box)
+        return L.get_boundaries(
+            n, w, r, boundary_type=boundary_type, name=name,
+            custom_filter=custom_filter, bbox=self.bounding_box,
+            tag_cols=self._tag_cols("BOUNDARY_TAG_COLS", tags_to_keep,
+                                    extra_attributes))
 
     def get_data_by_custom_criteria(
         self,

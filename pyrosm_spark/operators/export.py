@@ -17,9 +17,10 @@ Parity notes vs the reference:
   (graph_export.pyx:139-145);
 - `osmnx_compatible=True` renames id->osmid, lon->x, lat->y and adds
   the `key` edge attribute (graphs.py:225-231);
-- per-node `street_count` counts undirected incident street segments
-  with self-loops once (graph_export.pyx:12-27), recomputed on the
-  exported graph so it reflects the final edge set.
+- per-node `street_count` counts undirected incident street-segment
+  endpoints (self-loop edges deduped, both their endpoints counted —
+  graph_export.pyx:12-27), recomputed on the exported graph so it
+  reflects the final edge set.
 """
 
 from __future__ import annotations
@@ -35,7 +36,9 @@ GRAPH_NAME = "pyrosm_spark export"
 
 def _street_counts(graph) -> dict:
     """OSMnx-compatible street_count: undirected incident segments per
-    node, self-loops counted once (graph_export.pyx:12-27)."""
+    node; the self-loop EDGE is deduped to one but contributes both its
+    endpoints, i.e. +2 to its node (graph_export.pyx:12-27 — same
+    semantics as the distributed graph.street_count)."""
     import networkx as nx
 
     und = graph.to_undirected(reciprocal=False, as_view=True)
@@ -114,6 +117,11 @@ def to_networkx(
     known = set(node_ids)
     node_attrs = list(zip(node_ids, npd.to_dict(orient="records")))
 
+    # key=0 for every edge is the reference's own convention
+    # (graph_export.pyx:176 appends [u, v, 0, attrs]); parallel edges
+    # between the same (u, v) therefore collapse to the last record,
+    # exactly as in the reference's export. Segment-level inputs make
+    # true parallels (two ways sharing BOTH adjacent nodes) degenerate.
     edge_records = epd.to_dict(orient="records")
     edge_list = [
         (rec[from_col], rec[to_col], 0, rec)

@@ -184,17 +184,37 @@ def _way_wkb_from_arrays(lons: pd.Series, lats: pd.Series,
     """
     import struct
 
-    n_rows = len(lons)
-    if n_rows == 0:
+    n_all = len(lons)
+    if n_all == 0:
         return pd.Series([], dtype=object)
-    arrs = list(lons)
-    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n_rows)
+    all_lon = list(lons)
+    all_lat = list(lats)
+    lens_all = np.fromiter((a.size for a in all_lon), dtype=np.int64,
+                           count=n_all)
+    keep = lens_all >= 2
+    if not keep.all():
+        # compact to decodable rows up front: short rows at the batch
+        # TAIL would otherwise put reduceat start indices past the end
+        # of the cross-term array; their contract is simply None
+        idx = np.nonzero(keep)[0]
+        sub = _way_wkb_from_arrays.func(
+            pd.Series([all_lon[i] for i in idx]),
+            pd.Series([all_lat[i] for i in idx]),
+            pd.Series(is_polygon.to_numpy()[idx]),
+        )
+        full = np.full(n_all, None, dtype=object)
+        full[idx] = sub.to_numpy(dtype=object)
+        return pd.Series(full)
+
+    n_rows = n_all
+    arrs = all_lon
+    lens = lens_all
     off = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(lens, out=off[1:])
     total = int(off[-1])
     flat = np.empty((total, 2), dtype="<f8")
     flat[:, 0] = np.concatenate(arrs) if total else []
-    flat[:, 1] = np.concatenate(list(lats)) if total else []
+    flat[:, 1] = np.concatenate(all_lat) if total else []
     x, y = flat[:, 0], flat[:, 1]
 
     # per-row shoelace over stored points with implicit closure:

@@ -27,15 +27,18 @@ from pyspark.sql import functions as F
 
 def street_count(edges: DataFrame, u_col: str = "u",
                  v_col: str = "v") -> DataFrame:
-    """A6 — undirected incident street segments per node; parallel
-    segments between the same pair deduped; self-loops counted once
-    (graph_export.pyx:12-27, OSMnx street_count parity)."""
+    """A6 — undirected incident street segments per node; directional
+    copies of the same segment deduped to one undirected edge, whose
+    BOTH endpoints then count — so a self-loop contributes 2 to its
+    node, exactly the reference's Counter over flattened endpoint
+    pairs (graph_export.pyx:12-27; its docstring's 'self-loops counted
+    once' refers to the edge dedup, not the endpoint contribution)."""
     und = edges.select(
         F.least(u_col, v_col).alias("a"),
         F.greatest(u_col, v_col).alias("b"),
     ).distinct()
     ends = und.select(F.col("a").alias("node")).unionAll(
-        und.filter(F.col("a") != F.col("b")).select(F.col("b").alias("node"))
+        und.select(F.col("b").alias("node"))
     )
     return ends.groupBy("node").agg(F.count("*").alias("street_count"))
 
@@ -110,8 +113,13 @@ def endpoint_nodes(
         inc = e.select(
             F.explode(F.array(F.col("eu"), F.col("ev"))).alias("node"),
             *[F.col(f"a_{c}") for c in edge_attr_cols])
+        # NULL is a distinct value here (OSMnx: a tagged/untagged
+        # boundary splits the chain) — countDistinct ignores NULLs, so
+        # count the null class explicitly
         differ = inc.groupBy("node").agg(*[
-            (F.countDistinct(f"a_{c}") > 1).alias(f"d_{c}")
+            ((F.countDistinct(f"a_{c}")
+              + F.max(F.col(f"a_{c}").isNull().cast("int"))) > 1
+             ).alias(f"d_{c}")
             for c in edge_attr_cols])
         cond = None
         for c in edge_attr_cols:

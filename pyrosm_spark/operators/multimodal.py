@@ -150,7 +150,10 @@ def audio_features(audio: DataFrame) -> DataFrame:
                                  round(A.zero_crossing_rate(wave), 6),
                                  round(A.peak_amplitude(wave), 6),
                                  dur == r.duration_ms))
-                except NotImplementedError as e:
+                except (NotImplementedError, ValueError) as e:
+                    # ValueError = malformed payload (odd byte count,
+                    # channel mismatch) — poison rows land in `err`,
+                    # never fail the job
                     rows.append((r.audio_id, False, str(e), None, None,
                                  None, None, None, None))
             yield pd.DataFrame(rows, columns=[

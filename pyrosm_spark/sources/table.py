@@ -43,11 +43,15 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 def _infer_format(location: str) -> str:
     """'iceberg' for catalog identifiers (``cat.db.tbl`` — no path
-    separator) or Iceberg table directories (a ``metadata/`` folder
-    next to ``data/``); 'parquet' otherwise."""
+    separator AND not an existing file/dir) or Iceberg table
+    directories (a ``metadata/`` folder next to ``data/``); 'parquet'
+    otherwise. An existing relative path (``images.parquet`` in the
+    cwd) is data, never an identifier."""
+    if os.path.exists(location):
+        if os.path.isdir(os.path.join(location, "metadata")):
+            return "iceberg"
+        return "parquet"
     if "/" not in location and "\\" not in location:
-        return "iceberg"
-    if os.path.isdir(os.path.join(location, "metadata")):
         return "iceberg"
     return "parquet"
 

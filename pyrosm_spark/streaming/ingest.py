@@ -158,9 +158,14 @@ def streaming_exact_dedup(images: DataFrame, event_time_col: str = None,
     is not an option); without one, state grows with distinct keys
     (dev/test mode).
     """
+    # rows with NULL phash have UNKNOWN content: they must never dedupe
+    # against each other (concat_ws would silently drop the NULL and
+    # collide them on dimensions alone), so they key by their own id
     keyed = images.withColumn(
         "content_key",
-        F.concat_ws(":", F.col("phash"), F.col("w"), F.col("h")))
+        F.when(F.col("phash").isNotNull(),
+               F.concat_ws(":", F.col("phash"), F.col("w"), F.col("h")))
+        .otherwise(F.concat(F.lit("id:"), F.col("image_id"))))
     if event_time_col is not None:
         return keyed.withWatermark(
             event_time_col, watermark

@@ -34,11 +34,15 @@ def test_street_count(spark, toy_edges):
     assert got == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1, 10: 1, 11: 2, 12: 1}
 
 
-def test_street_count_self_loop_once(spark):
-    e = spark.createDataFrame([(1, 7, 7, 1.0), (2, 7, 8, 1.0)],
+def test_street_count_self_loop(spark):
+    """A self-loop contributes BOTH endpoints (reference Counter over
+    flattened pairs, graph_export.pyx:25-27: (n, n) flattens to two
+    n's); directional copies still dedupe to one edge."""
+    e = spark.createDataFrame([(1, 7, 7, 1.0), (2, 7, 8, 1.0),
+                               (3, 8, 7, 1.0)],
                               "id long, u long, v long, length double")
     got = {r["node"]: r["street_count"] for r in street_count(e).collect()}
-    assert got == {7: 2, 8: 1}  # self-loop counted once at node 7
+    assert got == {7: 3, 8: 1}
 
 
 def test_degrees(spark, toy_edges):
@@ -316,3 +320,21 @@ def test_to_networkx_simplified(spark, synth_dir):
     # chain edges carry stitched geometry + way id sets
     _, _, attrs = next(iter(g_simp.edges(data=True)))
     assert "way_ids" in attrs and "geometry" in attrs
+
+
+def test_endpoint_attr_differ_null_boundary(spark):
+    """Rule 5 must treat NULL as its own value class: a chain whose
+    attribute flips between tagged and untagged splits at the
+    boundary node."""
+    rows = [(0, 1, 2, 1.0, "primary"), (1, 2, 3, 1.0, "primary"),
+            (2, 3, 4, 1.0, None)]
+    e = _edges(spark, rows, attrs=True)
+    from pyrosm_spark.operators.graph import (
+        endpoint_nodes, simplify_directed_chains)
+    eps = {r["node"] for r in
+           endpoint_nodes(e, edge_attr_cols=("highway",))
+           .filter("is_endpoint").collect()}
+    assert 3 in eps
+    chains = simplify_directed_chains(
+        e, edge_attr_cols=("highway",)).collect()
+    assert {(c["u"], c["v"]) for c in chains} == {(1, 3), (3, 4)}
