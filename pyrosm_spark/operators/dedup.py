@@ -411,10 +411,13 @@ def minhash_lsh_pairs_sql(table: str = "documents") -> str:
 @F.pandas_udf(T.LongType())
 def simhash64(text: pd.Series) -> pd.Series:
     """64-bit SimHash over token md5 hashes: per bit, sum +-1 across
-    tokens, sign -> bit. Arrow-batched; numpy bit matrix per batch."""
+    tokens, sign -> bit. Arrow-batched; numpy bit matrix per batch.
+    Token-less (empty/whitespace-only/NULL) documents yield NULL — a
+    signature of 0 would spuriously pair every empty doc at hamming 0,
+    and the SQL mirror's unnest produces no rows for them."""
     import hashlib
 
-    out = np.zeros(len(text), dtype=np.int64)
+    out = np.full(len(text), None, dtype=object)
     for i, t in enumerate(text):
         toks = [w for w in (t or "").lower().strip().split() if w]
         if not toks:
@@ -503,6 +506,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
     docs = _ensure_parallelism(docs, id_col)
     sh = docs.select(F.col(id_col).alias("doc"),
                      simhash64(F.col(text_col)).alias("sim"))
+    sh = sh.filter(F.col("sim").isNotNull())  # token-less docs never pair
     bands = F.array(*[
         F.struct(F.lit(i).alias("band"),
                  F.shiftrightunsigned(F.col("sim"), 16 * i)

@@ -189,8 +189,11 @@ def _way_wkb_from_arrays(lons: pd.Series, lats: pd.Series,
         return pd.Series([], dtype=object)
     all_lon = list(lons)
     all_lat = list(lats)
-    lens_all = np.fromiter((a.size for a in all_lon), dtype=np.int64,
-                           count=n_all)
+    # NULL array cells (no resolvable refs) count as length 0 -> the
+    # row yields None, preserving the public contract without callers
+    # having to pre-filter pts_size() >= 2
+    lens_all = np.fromiter((0 if a is None else a.size for a in all_lon),
+                           dtype=np.int64, count=n_all)
     keep = lens_all >= 2
     if not keep.all():
         # compact to decodable rows up front: short rows at the batch

@@ -41,15 +41,23 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+_DATA_EXTENSIONS = (".parquet", ".parq", ".orc", ".csv", ".json", ".avro")
+
+
 def _infer_format(location: str) -> str:
     """'iceberg' for catalog identifiers (``cat.db.tbl`` — no path
     separator AND not an existing file/dir) or Iceberg table
     directories (a ``metadata/`` folder next to ``data/``); 'parquet'
     otherwise. An existing relative path (``images.parquet`` in the
-    cwd) is data, never an identifier."""
+    cwd) is data, never an identifier; so is any NOT-yet-existing
+    location with a known data-file extension (``out.parquet`` on the
+    write path must create a parquet file, not resolve a catalog
+    identifier)."""
     if os.path.exists(location):
         if os.path.isdir(os.path.join(location, "metadata")):
             return "iceberg"
+        return "parquet"
+    if location.lower().endswith(_DATA_EXTENSIONS):
         return "parquet"
     if "/" not in location and "\\" not in location:
         return "iceberg"

@@ -188,3 +188,46 @@ def test_phash_deterministic_and_distinct():
     c = I.phash64(I.synth_pixels(2, 16, 16))
     assert a == b
     assert I.hamming64(a, c) > 0
+
+
+# ------------------------------------------------- advice regressions (r2)
+
+def test_way_geometry_wkb_null_pts_yields_none(spark):
+    """A NULL pts array (no resolvable refs) must yield a NULL
+    geometry, not crash the kernel — the public way_geometry_wkb
+    contract does not require callers to pre-filter pts_size() >= 2."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T2
+
+    from pyrosm_spark.operators import geometry as geom
+
+    pts_t = T2.ArrayType(T2.StructType([
+        T2.StructField("pos", T2.IntegerType()),
+        T2.StructField("ref", T2.LongType()),
+        T2.StructField("lon", T2.DoubleType()),
+        T2.StructField("lat", T2.DoubleType()),
+    ]))
+    rows = [
+        (1, None),
+        (2, []),
+        (3, [(0, 10, 0.0, 0.0)]),
+        (4, [(0, 10, 0.0, 0.0), (1, 11, 1.0, 1.0)]),
+    ]
+    df = spark.createDataFrame(
+        rows, T2.StructType([T2.StructField("id", T2.LongType()),
+                             T2.StructField("pts", pts_t)]))
+    out = {r["id"]: r["g"] for r in df.select(
+        "id", geom.way_geometry_wkb(F.col("pts"), F.lit(False)).alias("g")
+    ).collect()}
+    assert out[1] is None and out[2] is None and out[3] is None
+    assert out[4] is not None
+
+
+def test_infer_format_write_path_extension(tmp_path):
+    """A not-yet-existing location with a data-file extension is a
+    path, never an Iceberg identifier (write_table('out.parquet'))."""
+    from pyrosm_spark.sources.table import _infer_format
+
+    assert _infer_format("out.parquet") == "parquet"
+    assert _infer_format(str(tmp_path / "new" / "t.parquet")) == "parquet"
+    assert _infer_format("cat.db.tbl") == "iceberg"

@@ -270,3 +270,17 @@ def test_audio_pcm16_roundtrip():
     back = decode_audio(encode_pcm16(wave), "pcm16", n_channels=2)
     assert back.shape == (1000, 2)
     assert np.abs(back - np.clip(wave, -1, 1)).max() < 1.0 / 32767 + 1e-9
+
+
+def test_simhash_empty_docs_never_pair(spark):
+    """Token-less documents get a NULL signature and are excluded from
+    pairing — a 0 signature would pair every empty doc at hamming 0
+    (and diverge from the SQL oracle, which emits no rows for them)."""
+    df = spark.createDataFrame(
+        [("a", ""), ("b", "   "), ("c", None),
+         ("d", "common text body"), ("e", "common text body")],
+        ["doc_id", "text"])
+    pairs = D.simhash_pairs(df, max_hamming=8).collect()
+    ids = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert ("a", "b") not in ids and ("a", "c") not in ids
+    assert ("d", "e") in ids
