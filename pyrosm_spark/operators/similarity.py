@@ -201,6 +201,15 @@ def train_ivf_centroids(
         .orderBy("i").limit(n_train).collect()
     )
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    return kmeans_codebook(mat, n_cells, iters)
+
+
+def kmeans_codebook(mat: np.ndarray, n_cells: int,
+                    iters: int = 8) -> np.ndarray:
+    """The numpy Lloyd core of ``train_ivf_centroids`` — a pure
+    function of (sample matrix, n_cells) with seeded init, shared by
+    the engine and the DuckDB oracle (``ann_ivf_sql``) so both sides
+    derive the identical codebook."""
     rng = np.random.default_rng(_HYPERPLANE_SEED)
     perm = rng.permutation(len(mat))
     cent = mat[perm[:n_cells]].copy()
@@ -335,3 +344,69 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ann_ivf_sql(parquet_path: str, table: str = "embeddings", k: int = 5,
+                n_cells: int = 8, nprobe: int = 4,
+                query_filter: str = "vec_id < 20",
+                sample_per_cell: int = 256) -> str:
+    """DuckDB mirror of ``ann_topk_ivf``: the codebook is re-derived at
+    SQL-build time from the SAME deterministic id-ordered sample the
+    engine trains on (read directly from ``parquet_path`` via pyarrow,
+    then ``kmeans_codebook`` — bit-identical numpy path), and embedded
+    as DOUBLE[] literals exactly like ``ann_lsh_sql`` embeds its
+    hyperplanes. Assignment mirrors the kernel's ||x-c||^2 argmin
+    (row-constant ||x||^2 dropped; stable tie-break on cell index),
+    corpus rows land in their single nearest cell, queries probe
+    ``nprobe`` cells, then exact cosine + top-k ranking."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(n_cells * sample_per_cell)
+    mat = np.array([np.asarray(v, dtype=np.float64)
+                    for v in df["embedding"]])
+    cent = kmeans_codebook(mat, n_cells)
+    rows = []
+    for c in range(n_cells):
+        lit = "[" + ", ".join(repr(float(x)) for x in cent[c]) + "]"
+        rows.append(f"SELECT {c} AS cell, CAST({lit} AS DOUBLE[]) AS cv")
+    cents_sql = " UNION ALL ".join(rows)
+    cos = ("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+           "CAST(c.embedding AS DOUBLE[]))")
+    return f"""
+        WITH cents AS ({cents_sql}),
+        cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS n2 FROM cents),
+        assigned AS (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY c.n2 - 2 * list_dot_product(
+                           CAST(e.embedding AS DOUBLE[]), c.cv),
+                           c.cell) AS rk
+            FROM {table} e, cn c
+        ),
+        corpus_cell AS (
+            SELECT vec_id AS neighbor_id, cell FROM assigned WHERE rk = 1
+        ),
+        probe AS (
+            SELECT vec_id AS query_id, cell FROM assigned
+            WHERE rk <= {nprobe} AND {query_filter}
+        ),
+        cand AS (
+            SELECT DISTINCT p.query_id, cc.neighbor_id
+            FROM probe p JOIN corpus_cell cc ON cc.cell = p.cell
+            WHERE p.query_id != cc.neighbor_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   round({cos}, 6) AS cosine
+            FROM cand
+            JOIN {table} q ON q.vec_id = cand.query_id
+            JOIN {table} c ON c.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
