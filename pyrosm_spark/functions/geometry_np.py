@@ -240,6 +240,138 @@ def is_closed_ring(coords: np.ndarray) -> bool:
     return len(coords) >= 4 and bool(np.all(coords[0] == coords[-1]))
 
 
+# --------------------------------------------------------------------------
+# G7 — geometry fixing ladder (numpy bowtie polygonize)
+# --------------------------------------------------------------------------
+#
+# Reference semantics (geometry.pyx:27-72 fix_geometry, applied to
+# invalid relation geometry at geometry.pyx:215-217,238-239 and
+# relations.pyx:170-175): try buffer(0), then self-intersect the
+# exterior and polygonize, accepting a candidate only when
+# abs(1 - area_orig/area_fixed) < 20. Without GEOS both repair stages
+# collapse to one numpy equivalent: node the ring at its proper
+# self-crossings and at repeated vertices, walk the noded cycle and
+# emit every simple sub-ring (polygonize keeps BOTH bowtie lobes — the
+# reference's stage-2 behavior; buffer(0)'s winding-sensitive lobe
+# selection is not reproducible without GEOS), then apply the same
+# area-ratio sanity gate. Unfixable rings pass through unchanged, as
+# fix_geometry returns the original invalid geometry.
+
+def ring_self_intersections(ring: np.ndarray):
+    """Proper crossings between non-adjacent edges of a ring.
+
+    ``ring`` open or closed; edges are cyclic. Returns a dict
+    edge_index -> list of (t, (x, y)) with 0 < t < 1, where the
+    crossing POINT object is shared by both edges involved so the
+    noded walk sees bit-identical coordinates on both passes.
+    """
+    r = np.asarray(ring, dtype=np.float64)
+    if is_closed_ring(r):
+        r = r[:-1]
+    n = len(r)
+    if n < 4:
+        return {}
+    a = r
+    b = np.roll(r, -1, axis=0)
+    d = b - a  # edge vectors
+    # pairwise: denom[i, j] = cross(d_i, d_j)
+    denom = d[:, 0][:, None] * d[:, 1][None, :] - \
+        d[:, 1][:, None] * d[:, 0][None, :]
+    dax = a[None, :, 0] - a[:, None, 0]  # a_j - a_i (x)
+    day = a[None, :, 1] - a[:, None, 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (dax * d[None, :, 1] - day * d[None, :, 0]) / denom
+        u = (dax * d[:, None, 1] - day * d[:, None, 0]) / denom
+    i_idx, j_idx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    adjacent = (
+        (i_idx == j_idx)
+        | ((i_idx + 1) % n == j_idx)
+        | ((j_idx + 1) % n == i_idx)
+    )
+    proper = (
+        ~adjacent & (denom != 0)
+        & (t > 0) & (t < 1) & (u > 0) & (u < 1) & (i_idx < j_idx)
+    )
+    out: dict = {}
+    for i, j in zip(*np.nonzero(proper)):
+        px = float(a[i, 0] + t[i, j] * d[i, 0])
+        py = float(a[i, 1] + t[i, j] * d[i, 1])
+        pt = (px, py)
+        out.setdefault(int(i), []).append((float(t[i, j]), pt))
+        out.setdefault(int(j), []).append((float(u[i, j]), pt))
+    return out
+
+
+def ring_is_simple(ring: np.ndarray) -> bool:
+    """No proper self-crossings and no repeated interior vertex."""
+    r = np.asarray(ring, dtype=np.float64)
+    if is_closed_ring(r):
+        r = r[:-1]
+    keys = {(_key(p)) for p in r}
+    if len(keys) != len(r):
+        return False
+    return not ring_self_intersections(r)
+
+
+def polygonize_ring(ring: np.ndarray) -> list:
+    """Split a self-intersecting ring into simple sub-rings.
+
+    Nodes the cyclic walk at proper crossings, then pops a sub-ring
+    every time the walk revisits a point (which also handles
+    self-touching rings that repeat a vertex without crossing edges).
+    Returns open (no duplicate closing vertex) sub-rings with >= 3
+    vertices; zero-area spikes are left to the caller's area filter.
+    """
+    r = np.asarray(ring, dtype=np.float64)
+    if is_closed_ring(r):
+        r = r[:-1]
+    crossings = ring_self_intersections(r)
+    walk = []
+    for i in range(len(r)):
+        walk.append((float(r[i, 0]), float(r[i, 1])))
+        for _, pt in sorted(crossings.get(i, []), key=lambda x: x[0]):
+            walk.append(pt)
+    walk.append(walk[0])  # close the cycle
+
+    stack: list = []
+    index: dict = {}
+    rings = []
+    for p in walk:
+        if p in index:
+            start_i = index[p]
+            loop = stack[start_i:]
+            if len(loop) >= 3:
+                rings.append(np.array(loop + [loop[0]], dtype=np.float64))
+            for q in stack[start_i + 1:]:
+                index.pop(q, None)
+            stack = stack[:start_i + 1]
+        else:
+            index[p] = len(stack)
+            stack.append(p)
+    return rings
+
+
+def fix_ring(ring: np.ndarray, diff_threshold: float = 20.0) -> list:
+    """G7 ladder for one closed ring: simple rings pass through; bowtie
+    rings are polygonized, accepted under the reference's area-ratio
+    sanity (abs(1 - A_orig/A_fixed) < diff_threshold, A_orig the NET
+    shoelace area exactly as GEOS .area reports for an invalid bowtie,
+    A_fixed the lobe-area sum); otherwise the original (still-invalid)
+    ring passes through unchanged (fix_geometry's final fallback)."""
+    if ring_is_simple(ring):
+        return [ring]
+    parts = [p for p in polygonize_ring(ring) if abs(signed_area(p)) > 0.0]
+    if not parts:
+        return [ring]
+    a_orig = abs(signed_area(ring))
+    a_fix = sum(abs(signed_area(p)) for p in parts)
+    if a_fix == 0:
+        return [ring]
+    if abs(1.0 - a_orig / a_fix) < diff_threshold:
+        return parts
+    return [ring]
+
+
 def assemble_multipolygon(member_lines: list):
     """OSM multipolygon assembly by geometry, not member role.
 
@@ -253,8 +385,15 @@ def assemble_multipolygon(member_lines: list):
 
     Returns list-of-polygons [[shell, hole, ...], ...] or None when no
     ring survives (the reference drops such relations).
+
+    Invalid (self-intersecting / self-touching) rings go through the
+    G7 fix ladder first (``fix_ring`` — the reference repairs invalid
+    ring polygons and assembly output, geometry.pyx:215-217,238-239),
+    so bowtie rings contribute their simple lobes to the overlay
+    instead of silently passing a bad polygon through.
     """
     rings = [r for r in line_merge(member_lines) if is_closed_ring(r)]
+    rings = [f for r in rings for f in fix_ring(r)]
     rings = [r for r in rings if abs(signed_area(r)) > 0.0]
     if not rings:
         return None

@@ -33,8 +33,17 @@ from pyrosm_spark.operators.relations import (
 
 
 def _present_tags(df: DataFrame, tag_cols) -> DataFrame:
-    for k in tag_cols:
-        df = df.withColumn(k.replace(":", "_"), F.col("tags")[k])
+    """Materialize OCCURRING candidate tag keys as columns, raw OSM key
+    names preserved (the reference's GeoDataFrames carry ``addr:city``
+    etc. verbatim; Spark column names take colons fine). Candidates
+    that never occur are skipped — matching the reference's data-driven
+    column sets (its buildings golden test expects ~20 columns from a
+    37-key candidate list) and keeping the plan narrow when the full
+    default_tags lists are in play."""
+    from pyrosm_spark.functions.tags import occurring_keys
+
+    for k in occurring_keys(df, list(tag_cols)):
+        df = df.withColumn(k, F.col("tags")[k])
     return df
 
 

@@ -70,17 +70,32 @@ def network_filter(network_type: str) -> dict | None:
 # uses oneway:bicycle contraflow exceptions)
 DIRECTION_SUFFIX = {"cycling": "bicycle"}
 
-NETWORK_TAG_COLS = [
-    "highway", "name", "oneway", "oneway:bicycle", "junction", "maxspeed",
-    "lanes", "ref", "service", "access", "foot", "bicycle",
-    "motor_vehicle", "motorcar", "psv", "area",
-]
-BUILDING_TAG_COLS = [
-    "building", "name", "amenity", "shop", "height", "addr:street",
-]
-POI_TAG_COLS = [
-    "amenity", "shop", "tourism", "leisure", "name", "natural",
-]
-LANDUSE_TAG_COLS = ["landuse", "name"]
-NATURAL_TAG_COLS = ["natural", "name"]
-BOUNDARY_TAG_COLS = ["boundary", "name", "admin_level", "type"]
+# Full reference-parity candidate lists (config/default_tags.py via
+# operators/default_tags.py). The engine materializes only OCCURRING
+# candidates (functions/tags.py occurring_keys), so wide lists cost one
+# key-scan aggregation, not plan width.
+from pyrosm_spark.operators.default_tags import (  # noqa: E402
+    BASIC_INFO_TAGS,
+    TAG_COLUMNS,
+)
+
+
+def _union(*keys: str) -> list:
+    seen: set = set()
+    out: list = []
+    for k in keys:
+        for t in TAG_COLUMNS[k]:
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+    return out
+
+
+NETWORK_TAG_COLS = _union("highway")
+BUILDING_TAG_COLS = _union("building")
+# reference get_pois default filter = {amenity, shop, tourism}
+# (pyrosm.py:974-985): columns are the union of those lists
+POI_TAG_COLS = _union("amenity", "shop", "tourism")
+LANDUSE_TAG_COLS = _union("landuse")
+NATURAL_TAG_COLS = _union("natural")
+BOUNDARY_TAG_COLS = _union("boundary")

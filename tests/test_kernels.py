@@ -231,3 +231,66 @@ def test_infer_format_write_path_extension(tmp_path):
     assert _infer_format("out.parquet") == "parquet"
     assert _infer_format(str(tmp_path / "new" / "t.parquet")) == "parquet"
     assert _infer_format("cat.db.tbl") == "iceberg"
+
+
+# ------------------------------------------------- G7 fix ladder (r2)
+
+def _fig8():
+    """Figure-eight bowtie: edges (0,0)-(2,2) and (2,0)-(0,2) cross at
+    (1,1); lobes are the two triangles."""
+    return np.array([[0.0, 0.0], [2.0, 2.0], [0.0, 2.0],
+                     [2.0, 0.0], [0.0, 0.0]])
+
+
+def test_ring_simple_detection():
+    square = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)
+    assert G.ring_is_simple(square)
+    assert not G.ring_is_simple(_fig8())
+
+
+def test_bowtie_polygonize_two_lobes():
+    parts = G.fix_ring(_fig8())
+    assert len(parts) == 2
+    areas = sorted(abs(G.signed_area(p)) for p in parts)
+    # each lobe is a triangle of area 1 (base 2, height 1)
+    assert areas == pytest.approx([1.0, 1.0])
+    for p in parts:
+        assert G.ring_is_simple(p)
+
+
+def test_self_touching_ring_splits_at_repeated_vertex():
+    # two squares sharing the vertex (1,1) traversed as ONE ring
+    ring = np.array([[0, 0], [1, 0], [1, 1], [2, 1], [2, 2], [1, 2],
+                     [1, 1], [0, 1], [0, 0]], float)
+    parts = G.fix_ring(ring)
+    assert len(parts) == 2
+    areas = sorted(abs(G.signed_area(p)) for p in parts)
+    assert areas == pytest.approx([1.0, 1.0])
+
+
+def test_fix_ring_passthrough_when_simple():
+    square = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)
+    out = G.fix_ring(square)
+    assert len(out) == 1 and np.array_equal(out[0], square)
+
+
+def test_assemble_multipolygon_repairs_bowtie_member():
+    """A relation whose outer ring is a bowtie assembles into TWO
+    shells (the repaired lobes) instead of one invalid polygon —
+    reference geometry.pyx:215-217,238-239 repair semantics."""
+    polys = G.assemble_multipolygon([_fig8()])
+    assert polys is not None and len(polys) == 2
+    # a point in each lobe (top / bottom triangle) must be inside
+    rings = [r for p in polys for r in p]
+    top = G.points_in_polygon(np.array([1.0]), np.array([1.5]), rings)
+    bot = G.points_in_polygon(np.array([1.0]), np.array([0.5]), rings)
+    out = G.points_in_polygon(np.array([0.2]), np.array([1.0]), rings)
+    assert bool(top[0]) and bool(bot[0]) and not bool(out[0])
+
+
+def test_fix_ring_area_sanity_keeps_original():
+    """If polygonize yields a wildly different area (forced via a tiny
+    threshold), the original invalid ring passes through unchanged —
+    fix_geometry's final fallback."""
+    out = G.fix_ring(_fig8(), diff_threshold=1e-12)
+    assert len(out) == 1 and np.array_equal(out[0], _fig8())

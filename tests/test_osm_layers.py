@@ -259,3 +259,46 @@ def test_bbox_complete_ways(spark, osm, synth_dir):
     for r in rows:
         _, coords = G.parse_wkb(r["geometry"])
         assert coords[:, 0].min() < x0  # geometry extends outside the box
+
+
+def test_building_candidate_list_reference_parity():
+    """BUILDING_TAG_COLS now carries the reference's full
+    config/default_tags.py building list — the golden columns its
+    tests/test_building_parsing.py:70-83 requires must all be
+    candidates (they materialize whenever the data carries them)."""
+    from pyrosm_spark.operators.presets import (
+        BUILDING_TAG_COLS,
+        POI_TAG_COLS,
+    )
+
+    golden = ["building", "addr:city", "addr:street", "addr:country",
+              "addr:postcode", "addr:housenumber", "source",
+              "opening_hours", "building:levels"]
+    for c in golden:
+        assert c in BUILDING_TAG_COLS, c
+    # POIs = union of amenity/shop/tourism lists (pyrosm.py:974-985)
+    for c in ["amenity", "shop", "tourism", "opening_hours", "operator",
+              "internet_access"]:
+        assert c in POI_TAG_COLS, c
+
+
+def test_layer_materializes_only_occurring_candidates(spark, osm):
+    """Occurring-keys presentation: every candidate key present in the
+    data becomes a column under its RAW OSM name; never-occurring
+    candidates (the bulk of the 37-key list on the synth world) do
+    not widen the frame."""
+    from pyspark.sql import functions as F
+
+    from pyrosm_spark.operators.layers import get_buildings
+    from pyrosm_spark.operators.presets import BUILDING_TAG_COLS
+
+    nodes, ways, rels = osm
+    b = get_buildings(nodes, ways, rels)
+    base = {"id", "tags", "geometry", "osm_type", "lon", "lat",
+            "members"}
+    tag_cols = [c for c in b.columns if c not in base]
+    for c in tag_cols:
+        assert c in BUILDING_TAG_COLS, c
+        # every materialized column has at least one value
+        assert b.filter(F.col(c).isNotNull()).limit(1).count() == 1, c
+    assert "building" in tag_cols
