@@ -138,7 +138,11 @@ def main():
     # engine queries ------------------------------------------------------
     n_edges = bench("q_network_driving", lambda: get_network(
         nodes, ways, "driving").count())
-    bench("q_buildings", lambda: polygons.count())
+    # full end-to-end build, NOT the cached PIP-side copy (which would
+    # time a cached count): filter -> coordinate join -> relation
+    # assembly -> geometry WKB, fresh plan each run
+    bench("q_buildings", lambda: get_buildings(nodes, ways, rels)
+          .select("id", "osm_type", "geometry").count())
     n_lsh = bench("q_minhash_lsh", lambda: minhash_lsh_pairs(
         docs, n_blocks=4).count())
     n_ph = bench("q_phash_pairs", lambda: phash_pairs(

@@ -150,20 +150,47 @@ def shingles_sql(text: str, n: int = SHINGLE_N) -> str:
 # n-gram Jaccard near-dup
 # --------------------------------------------------------------------------
 
+MAX_SHINGLE_DF = 1000  # default candidate-generation df cap
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         n: int = SHINGLE_N, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold, via an inverted
-    shingle index (explode -> self-join on shingle -> pair count).
-    Shuffles on shingle then on pair — no cross join anywhere."""
+    shingle index with a document-frequency cap on CANDIDATE GENERATION
+    (the de-skew fix): a stop-phrase shingle shared by d documents
+    would emit O(d^2) join rows on a single key, so shingles with
+    df > ``max_df`` are excluded from the inverted-index self-join
+    (standard near-dup practice — recall changes only for pairs whose
+    EVERY shared shingle is near-universal). The Jaccard value itself
+    stays EXACT: common counts are recomputed over the full shingle
+    sets of each surviving candidate pair, so emitted values are
+    identical to the uncapped form. ``max_df=None`` disables the cap.
+    """
     sh = _shingle_rows(docs, text_col, id_col, n)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
+    if max_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_df).select("shingle"))
+        cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        cold = sh
+    a = cold.alias("a")
+    b = cold.alias("b")
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    # exact intersection size over the FULL shingle sets of candidates
+    fa = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    fb = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    common = (
+        cand.join(fa, "doc_a").join(fb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
@@ -181,16 +208,33 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
 
 
 def ngram_jaccard_sql(table: str = "documents", threshold: float = 0.5,
-                      n: int = SHINGLE_N) -> str:
+                      n: int = SHINGLE_N,
+                      max_df: int | None = MAX_SHINGLE_DF) -> str:
+    """DuckDB mirror of ``ngram_jaccard_pairs`` including the df cap
+    (candidates from cold shingles only; exact common recount)."""
     sh = shingles_sql("text", n)
+    hot_filter = (
+        f"""shingle NOT IN (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) > {max_df})"""
+        if max_df is not None else "TRUE"
+    )
     return f"""
         WITH sh AS (
             SELECT doc_id AS doc, unnest({sh}) AS shingle FROM {table}
         ),
         sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+        cold AS (SELECT * FROM sh WHERE {hot_filter}),
+        cand AS (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+            FROM cold a JOIN cold b
+              ON a.shingle = b.shingle AND a.doc < b.doc
+        ),
         common AS (
-            SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            SELECT c.doc_a, c.doc_b, count(*) AS common
+            FROM cand c
+            JOIN sh a ON a.doc = c.doc_a
+            JOIN sh b ON b.doc = c.doc_b AND b.shingle = a.shingle
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,

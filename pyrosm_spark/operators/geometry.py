@@ -23,7 +23,8 @@ from pyrosm_spark.functions.distance import segment_length_m
 PTS_FIELD = "pts"  # array<struct<pos:int, ref:long, lon:double, lat:double>>
 
 
-def way_coordinates(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+def way_coordinates(ways: DataFrame, nodes: DataFrame,
+                    broadcast_ways: bool = False) -> DataFrame:
     """J1 — the workhorse node->way coordinate join.
 
     Reference semantics (``geometry.pyx:295-342``, ``node_lookup.pyx:52-66``):
@@ -38,13 +39,23 @@ def way_coordinates(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     (join key, then way id); both are pure equi-shuffles AQE can size.
     Returns ``ways`` with an added ``pts`` array column (ways with zero
     resolvable refs keep an empty array).
+
+    ``broadcast_ways=True`` is the SMALL-left-side plan (relation
+    member assembly: dozens-to-thousands of ways probing a planet-sized
+    node table): the exploded refs and the aggregated pts are broadcast
+    so the node table is stream-scanned once with ZERO shuffles,
+    instead of fully reshuffling it for a tiny probe side. Callers must
+    know the way set is broadcast-sized (see assemble_relations' probe).
     """
     refs = ways.select(F.col("id").alias("way_id"),
                        F.posexplode("refs").alias("pos", "ref"))
     coords = nodes.select(F.col("id").alias("ref"),
                           F.col("lon").alias("_lon"),
                           F.col("lat").alias("_lat"))
-    joined = refs.join(coords, "ref", "inner")
+    if broadcast_ways:
+        joined = coords.join(F.broadcast(refs), "ref", "inner")
+    else:
+        joined = refs.join(coords, "ref", "inner")
     pts = (
         joined.groupBy("way_id")
         .agg(
@@ -58,6 +69,8 @@ def way_coordinates(ways: DataFrame, nodes: DataFrame) -> DataFrame:
             ).alias(PTS_FIELD)
         )
     )
+    if broadcast_ways:
+        pts = F.broadcast(pts)
     return (
         ways.join(pts, ways["id"] == pts["way_id"], "left")
         .drop("way_id")

@@ -298,7 +298,9 @@ def simplify_directed_chains(
 
 def connected_components(edges: DataFrame, u_col: str = "u",
                          v_col: str = "v",
-                         contraction_rounds: int = 6) -> DataFrame:
+                         contraction_rounds: int = 6,
+                         max_driver_edges: int = 100_000,
+                         _depth: int = 0) -> DataFrame:
     """Weakly-connected components by graph contraction.
 
     Naive min-label propagation needs O(diameter) full-shuffle rounds —
@@ -314,9 +316,13 @@ def connected_components(edges: DataFrame, u_col: str = "u",
        back over the labels.
 
     The driver step sees only the contracted graph (for a road network,
-    thousands of labels after 6 rounds of million-node input); at
-    planetary scale raise ``contraction_rounds`` or recurse. This is
-    the standard two-level contraction scheme, all data-side work being
+    thousands of labels after 6 rounds of million-node input). If the
+    contracted super-graph still exceeds ``max_driver_edges``, the
+    function RECURSES on the super-graph instead of collecting it (each
+    level contracts the diameter geometrically, so depth is
+    O(log diameter)); the driver union-find only ever sees a bounded
+    edge set. This removes the one data-dependent driver collect in
+    the engine — the planetary-scale guard. All data-side work is
     plain joins/groupBys.
     """
     und = (
@@ -344,14 +350,28 @@ def connected_components(edges: DataFrame, u_col: str = "u",
             .localCheckpoint()
         )
 
-    # contract and finish exactly on the driver
+    # contract: surviving cross-label edges form the super-graph
     lab_a = labels.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
     lab_b = labels.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
-    super_edges = (
+    sup = (
         und.join(lab_a, "a").join(lab_b, "b")
         .filter(F.col("ca") != F.col("cb"))
-        .select("ca", "cb").distinct().collect()
+        .select("ca", "cb").distinct().localCheckpoint()
     )
+    if _depth < 4 and sup.count() > max_driver_edges:
+        # still too big for the driver: recurse on the super-graph
+        # (labels are nodes), then broadcast the label -> root map back
+        sub = connected_components(
+            sup, "ca", "cb", contraction_rounds, max_driver_edges,
+            _depth + 1)
+        mapping = (sub.withColumnRenamed("comp", "root")
+                   .withColumnRenamed("node", "comp"))
+        return (
+            labels.join(mapping, "comp", "left")
+            .select("node", F.coalesce("root", F.col("comp")).alias("comp"))
+        )
+    # finish exactly on the (bounded) driver
+    super_edges = sup.collect()
     parent: dict = {}
 
     def find(x):

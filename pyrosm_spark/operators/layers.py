@@ -32,17 +32,23 @@ from pyrosm_spark.operators.relations import (
 )
 
 
-def _present_tags(df: DataFrame, tag_cols) -> DataFrame:
+def _present_tags(df: DataFrame, tag_cols, tag_source=None) -> DataFrame:
     """Materialize OCCURRING candidate tag keys as columns, raw OSM key
     names preserved (the reference's GeoDataFrames carry ``addr:city``
     etc. verbatim; Spark column names take colons fine). Candidates
     that never occur are skipped — matching the reference's data-driven
     column sets (its buildings golden test expects ~20 columns from a
-    37-key candidate list) and keeping the plan narrow when the full
-    default_tags lists are in play."""
+    37-key candidate list; it too decides columns from the parsed tag
+    arrays BEFORE geometry creation) and keeping the plan narrow when
+    the full default_tags lists are in play.
+
+    ``tag_source`` (optional) is a cheap pre-geometry frame whose
+    ``tags`` column decides key occurrence — scanning it avoids
+    executing the geometry UDF stages just to count keys."""
     from pyrosm_spark.functions.tags import occurring_keys
 
-    for k in occurring_keys(df, list(tag_cols)):
+    for k in occurring_keys(
+            df if tag_source is None else tag_source, list(tag_cols)):
         df = df.withColumn(k, F.col("tags")[k])
     return df
 
@@ -71,11 +77,13 @@ def get_layer(
 
     kept_ways = ways.filter(pred)
     parts = []
+    tag_sources = []  # pre-geometry tags for the occurring-keys scan
 
     # --- relations (multipolygons etc.) --------------------------------
     member_ids = None
     if include_relations:
         kept_rels = relations.filter(pred)
+        tag_sources.append(kept_rels.select("tags"))
         member_ids = relation_member_ways(kept_rels).select(
             F.col("way_id").alias("id")
         ).distinct()
@@ -96,6 +104,7 @@ def get_layer(
     if member_ids is not None:
         # J4: ways consumed by a kept relation leave the standalone output
         kept_ways = kept_ways.join(member_ids, "id", "left_anti")
+    tag_sources.append(kept_ways.select("tags"))
     w = geom.spread_for_udf(geom.way_coordinates(kept_ways, nodes))
     w = w.filter(geom.pts_size() >= 2)
     w = w.withColumn(
@@ -122,6 +131,7 @@ def get_layer(
                 F.col("lon").between(xmin, xmax)
                 & F.col("lat").between(ymin, ymax)
             )
+        tag_sources.append(kept_nodes.select("tags"))
         node_feats = (
             kept_nodes.withColumn(
                 "geometry",
@@ -135,7 +145,10 @@ def get_layer(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)  # U1
-    return _present_tags(out, tag_cols)
+    src = tag_sources[0]
+    for s in tag_sources[1:]:
+        src = src.unionAll(s)
+    return _present_tags(out, tag_cols, tag_source=src)
 
 
 # --------------------------------------------------------------------------

@@ -133,26 +133,44 @@ def relation_member_ways(relations: DataFrame) -> DataFrame:
     )
 
 
+_BROADCAST_MEMBER_PROBE = 100_000
+
+
 def assemble_relations(
     relations: DataFrame,
     ways: DataFrame,
     nodes: DataFrame,
     member_way_restriction: DataFrame | None = None,
+    broadcast_members: bool | None = None,
 ) -> DataFrame:
     """Relations + geometry. ``member_way_restriction`` (optional set of
     allowed way ids, e.g. in-box ways when complete_relations=False,
-    J6/collect.py:606-623) limits which member ways participate."""
+    J6/collect.py:606-623) limits which member ways participate.
+
+    ``broadcast_members`` picks the join strategy for resolving member
+    ways against the (possibly planet-sized) way/node tables. True =
+    broadcast the member list so both lookups become stream-scans with
+    no shuffle of the big tables (the reference's in-memory node index,
+    expressed Spark-side); False = plain shuffle joins (correct when
+    the kept-relation member set itself is huge); None (default) =
+    decide with one LIMIT-bounded count probe of the member list —
+    a cheap relations-table-only action."""
     members = relation_member_ways(relations)
     if member_way_restriction is not None:
         members = members.join(
             member_way_restriction.select(F.col("id").alias("way_id")),
             "way_id", "left_semi",
         )
-    member_ways = members.join(
+    if broadcast_members is None:
+        probe = members.limit(_BROADCAST_MEMBER_PROBE + 1).count()
+        broadcast_members = probe <= _BROADCAST_MEMBER_PROBE
+    m = F.broadcast(members) if broadcast_members else members
+    member_ways = m.join(
         ways.select(F.col("id").alias("way_id"), "refs"), "way_id", "inner"
     )
     with_pts = geom.spread_for_udf(geom.way_coordinates(
-        member_ways.withColumnRenamed("way_id", "id"), nodes
+        member_ways.withColumnRenamed("way_id", "id"), nodes,
+        broadcast_ways=broadcast_members,
     ).filter(geom.pts_size() >= 2))
     member_lines = with_pts.withColumn(
         "_line", geom.way_geometry_wkb(F.col(geom.PTS_FIELD), F.lit(False))

@@ -338,3 +338,25 @@ def test_endpoint_attr_differ_null_boundary(spark):
     chains = simplify_directed_chains(
         e, edge_attr_cols=("highway",)).collect()
     assert {(c["u"], c["v"]) for c in chains} == {(1, 3), (3, 4)}
+
+
+def test_cc_recursion_guard_on_long_chain(spark):
+    """A pathological long chain leaves a large super-graph after the
+    cheap contraction rounds; with max_driver_edges forced tiny the
+    finish must RECURSE on the super-graph instead of collecting it,
+    and still label one single component."""
+    from pyrosm_spark.operators.graph import connected_components
+
+    n = 600
+    rows = [(i, i + 1) for i in range(n)]          # one long path
+    rows += [(10_000 + i, 10_001 + i) for i in range(5)]  # second comp
+    df = spark.createDataFrame(rows, "u long, v long")
+    # 2 rounds leave a long chain of labels; cap forces >=1 recursion
+    comp = connected_components(df, contraction_rounds=2,
+                                max_driver_edges=10)
+    rowsc = {r["node"]: r["comp"] for r in comp.collect()}
+    assert len(rowsc) == n + 1 + 6
+    chain_labels = {rowsc[i] for i in range(n + 1)}
+    other_labels = {rowsc[10_000 + i] for i in range(6)}
+    assert chain_labels == {0}
+    assert other_labels == {10_000}

@@ -284,3 +284,55 @@ def test_simhash_empty_docs_never_pair(spark):
     ids = {(r["doc_a"], r["doc_b"]) for r in pairs}
     assert ("a", "b") not in ids and ("a", "c") not in ids
     assert ("d", "e") in ids
+
+
+def test_ngram_df_cap_excludes_hot_only_pairs(spark):
+    """De-skew: shingles with df > max_df never generate candidates —
+    a pair whose ONLY shared shingle is near-universal is dropped,
+    while pairs sharing any cold shingle keep their EXACT (uncapped)
+    Jaccard value."""
+    hot = "the quick brown"  # one 3-gram shared by every doc
+    rows = [(f"d{i:02d}", f"the quick brown unique{i} body{i} tail{i}")
+            for i in range(8)]
+    # d90/d91 share cold shingles too (near-dup pair)
+    rows += [("d90", "the quick brown shared phrase body alpha"),
+             ("d91", "the quick brown shared phrase body beta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = D.ngram_jaccard_pairs(df, threshold=0.05, max_df=5)
+    uncapped = D.ngram_jaccard_pairs(df, threshold=0.05, max_df=None)
+    got_c = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in capped.collect()}
+    got_u = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in uncapped.collect()}
+    # the near-dup pair survives the cap with an identical exact value
+    assert ("d90", "d91") in got_c
+    assert got_c[("d90", "d91")] == got_u[("d90", "d91")]
+    # hot-only pairs (share just 'the quick brown') exist uncapped,
+    # never capped
+    hot_only = [p for p in got_u if p != ("d90", "d91")]
+    assert hot_only, "uncapped run should surface hot-only pairs"
+    for p in hot_only:
+        assert p not in got_c
+
+
+def test_ngram_df_cap_oracle_parity(spark):
+    """Capped engine output == capped SQL oracle on a hot-shingle
+    corpus (both sides exclude hot shingles from candidate generation
+    and recount common over full sets)."""
+    import pandas as pd
+
+    rows = [(f"d{i:02d}", f"common lead in unique{i} trail{i}")
+            for i in range(6)]
+    rows += [("d90", "common lead in shared tail body x"),
+             ("d91", "common lead in shared tail body y")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("docs_t", pdf)
+    con.execute("CREATE VIEW hotdocs AS SELECT * FROM docs_t")
+    sql = D.ngram_jaccard_sql("hotdocs", threshold=0.05, max_df=4)
+    exp = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           D.ngram_jaccard_pairs(df, threshold=0.05, max_df=4).collect()}
+    assert got == exp
