@@ -91,6 +91,26 @@ def main():
     check("pip_exact: hash join for cell equi-join",
           "HashJoin" in p)
 
+    # 6. relation assembly: the member probe broadcasts so the big
+    # way/node tables never shuffle for a metadata-sized member list
+    from pyrosm_spark.functions.filters import element_filter_column
+    from pyrosm_spark.operators.relations import assemble_relations
+    _, w2, r2 = load_osm(spark, em.SYNTH_DIR)
+    pred = element_filter_column(F.col("tags"), {"building": True})
+    rel = assemble_relations(r2.filter(pred), w2, nodes,
+                             broadcast_members=True)
+    p = plan_of(rel.select("id", "geometry"))
+    check("assemble_relations: member lookups are broadcast joins",
+          "BroadcastHashJoin" in p)
+
+    # 7. df-capped ngram join: the hot-shingle exclusion is a
+    # broadcast anti-join (no shuffle of the shingle stream for it)
+    from pyrosm_spark.operators.dedup import ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    p = plan_of(ngram_jaccard_pairs(docs, threshold=0.2))
+    check("ngram df cap: hot-shingle anti-join is broadcast",
+          "BroadcastHashJoin" in p and "LeftAnti" in p)
+
     print(f"\n{'ALL OK' if not FAILS else f'{len(FAILS)} FAILURES: {FAILS}'}")
     sys.exit(1 if FAILS else 0)
 

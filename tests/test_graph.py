@@ -360,3 +360,82 @@ def test_cc_recursion_guard_on_long_chain(spark):
     other_labels = {rowsc[10_000 + i] for i in range(6)}
     assert chain_labels == {0}
     assert other_labels == {10_000}
+
+
+def test_igraph_frames_contract():
+    """X4 — sequential-vertex contract of the reference's
+    _create_igraph (graph_export.pyx:29-108), testable without the
+    igraph runtime: node_id = 0..n-1, edge *_seq mapped through it,
+    missing-endpoint edges skipped."""
+    import pandas as pd
+
+    from pyrosm_spark.operators.export import igraph_frames
+
+    npd = pd.DataFrame({"id": [100, 200, 300], "lon": [0.0, 1.0, 2.0],
+                        "lat": [0.0, 1.0, 2.0]})
+    epd = pd.DataFrame({"u": [100, 200, 300, 999],
+                        "v": [200, 300, 100, 100],
+                        "length": [1.0, 2.0, 3.0, 4.0]})
+    n2, e2, edge_list = igraph_frames(npd, epd)
+    assert list(n2["node_id"]) == [0, 1, 2]
+    assert len(e2) == 3  # the 999 edge is skipped, never raised
+    assert edge_list == [(0, 1), (1, 2), (2, 0)]
+    assert list(e2["u_seq"]) == [0, 1, 2]
+    assert list(e2["v_seq"]) == [1, 2, 0]
+    assert list(e2["length"]) == [1.0, 2.0, 3.0]
+
+
+def test_pandana_frames_contract():
+    """X4 — the reference's _build_routing_network frame shape
+    (graph_export.pyx:196-206): nodes lon/lat -> x/y indexed by id,
+    directed edges with weight columns, missing endpoints dropped."""
+    import pandas as pd
+    import pytest as _pt
+
+    from pyrosm_spark.operators.export import pandana_frames
+
+    npd = pd.DataFrame({"id": [10, 20], "lon": [0.5, 1.5],
+                        "lat": [2.5, 3.5]})
+    epd = pd.DataFrame({"u": [10, 20, 10], "v": [20, 10, 77],
+                        "length": [5.0, 6.0, 7.0]})
+    n2, e2 = pandana_frames(npd, epd)
+    assert list(n2.columns[:1]) == ["id"]
+    assert list(n2.index) == [10, 20] and n2.index.name is None
+    assert list(n2["x"]) == [0.5, 1.5] and list(n2["y"]) == [2.5, 3.5]
+    assert len(e2) == 2  # the (10, 77) edge dropped
+    with _pt.raises(ValueError, match="weight"):
+        pandana_frames(npd, epd, weight_cols=("travel_time",))
+
+
+def test_to_igraph_raises_clean_importerror(spark, synth_dir):
+    """The igraph/pandana runtimes are absent in this container; the
+    exporters must run the full distributed pipeline + frame contract
+    and fail only at the final constructor with the reference's
+    ImportError message."""
+    import pytest as _pt
+
+    from pyrosm_spark.operators.export import to_igraph, to_pandana
+    from pyrosm_spark.operators.network import get_network
+    from pyrosm_spark.operators.osm_source import load_osm
+
+    nodes, ways, _ = load_osm(spark, synth_dir)
+    gnodes, edges = get_network(nodes, ways, "driving", with_nodes=True)
+    try:
+        import igraph  # noqa: F401
+        has_igraph = True
+    except ImportError:
+        has_igraph = False
+    if has_igraph:
+        g = to_igraph(gnodes, edges)
+        assert g.vcount() > 0
+    else:
+        with _pt.raises(ImportError, match="python-igraph"):
+            to_igraph(gnodes, edges)
+    try:
+        import pandana  # noqa: F401
+        has_pandana = True
+    except ImportError:
+        has_pandana = False
+    if not has_pandana:
+        with _pt.raises(ImportError, match="pandana"):
+            to_pandana(gnodes, edges)
