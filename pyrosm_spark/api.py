@@ -170,6 +170,9 @@ class OSM:
                        name: str | None = None, custom_filter=None,
                        timestamp=None, tags_to_keep=None,
                        extra_attributes=None) -> DataFrame:
+        from pyrosm_spark.functions.validators import validate_boundary_type
+
+        boundary_type = validate_boundary_type(boundary_type)
         n, w, r = self._src(timestamp)
         return L.get_boundaries(
             n, w, r, boundary_type=boundary_type, name=name,
@@ -189,6 +192,13 @@ class OSM:
         """pyrosm.py:1019-1185. ``custom_filter=None`` = keep-all mode:
         every element carrying >=1 real tag, no key/value filtering
         (filter_type ignored, pyrosm.py:1117-1125)."""
+        from pyrosm_spark.functions.validators import (
+            validate_booleans,
+            validate_custom_filter,
+        )
+
+        custom_filter = validate_custom_filter(custom_filter)
+        validate_booleans(keep_nodes, keep_ways, keep_relations)
         n, w, r = self._src(timestamp)
         out = L.get_layer(
             n, w, r,
@@ -215,16 +225,24 @@ class OSM:
                  osmnx_compatible: bool = True,
                  simplify: bool = False,
                  simplify_kwargs: dict | None = None):
-        if graph_type != "networkx":
-            raise NotImplementedError(
-                f"graph_type={graph_type!r}: only 'networkx' is "
-                "available here (igraph/pandana libs absent); the "
-                "distributed export surface is the (nodes, edges) "
-                "DataFrame pair.")
-        from pyrosm_spark.operators.export import to_networkx
+        """pyrosm.py:1357-1539 ``to_graph``: dispatch on the validated
+        graph_type. networkx builds fully; igraph/pandana run the same
+        distributed pipeline + frame contracts and raise the
+        reference's ImportError at the constructor when the lib is
+        absent (as the reference itself does)."""
+        from pyrosm_spark.functions.validators import validate_graph_type
+        from pyrosm_spark.operators.export import (
+            to_igraph,
+            to_networkx,
+            to_pandana,
+        )
 
-        return to_networkx(nodes, edges, network_type=network_type,
-                           retain_all=retain_all,
-                           osmnx_compatible=osmnx_compatible,
-                           simplify=simplify,
-                           simplify_kwargs=simplify_kwargs)
+        graph_type = validate_graph_type(graph_type)
+        kw = dict(network_type=network_type, retain_all=retain_all,
+                  simplify=simplify, simplify_kwargs=simplify_kwargs)
+        if graph_type == "networkx":
+            return to_networkx(nodes, edges,
+                               osmnx_compatible=osmnx_compatible, **kw)
+        if graph_type == "igraph":
+            return to_igraph(nodes, edges, **kw)
+        return to_pandana(nodes, edges, **kw)

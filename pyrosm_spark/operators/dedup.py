@@ -603,7 +603,7 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
                            vec_col: str = "embedding") -> DataFrame:
     """Exact all-pairs cosine >= threshold. Join-on-inequality (id<id)
     — the correctness baseline; the scale path buckets by hyperplane
-    LSH first (see similarity.lsh_bucket_pairs). Dot/norm stay native
+    LSH first (see similarity.lsh_cosine_pairs). Dot/norm stay native
     (zip_with + aggregate = JVM codegen)."""
     v = emb.select(
         F.col(id_col).alias("vid"),

@@ -60,11 +60,17 @@ def filter_network_ways(
     return ways.filter(pred)
 
 
-def _present_tags(df: DataFrame, tag_cols) -> DataFrame:
-    """Materialize tags[k] presentation columns (SURVEY.md §1.3). The
-    map column stays authoritative; these are read-side conveniences."""
-    for k in tag_cols:
-        df = df.withColumn(k.replace(":", "_"), F.col("tags")[k])
+def _present_tags(df: DataFrame, tag_cols, tag_source=None) -> DataFrame:
+    """Materialize OCCURRING tags[k] presentation columns under raw OSM
+    key names (SURVEY.md §1.3; same data-driven column semantics as
+    layers — the full 37-key highway candidate list would otherwise
+    widen every edge frame with mostly-absent columns). The map column
+    stays authoritative; these are read-side conveniences."""
+    from pyrosm_spark.functions.tags import occurring_keys
+
+    for k in occurring_keys(
+            df if tag_source is None else tag_source, list(tag_cols)):
+        df = df.withColumn(k, F.col("tags")[k])
     return df
 
 
@@ -89,6 +95,7 @@ def get_network(
 
     if bbox is not None:
         w = ways_in_bbox(w, nodes, bbox)
+    wf = w  # pre-geometry frame: cheap occurring-keys tag source
 
     w = geom.spread_for_udf(geom.way_coordinates(w, nodes))
     w = w.filter(geom.pts_size() >= 2)  # <2 resolvable refs -> dropped
@@ -102,7 +109,7 @@ def get_network(
             )
             .withColumn("osm_type", F.lit("way"))
         )
-        edges = _present_tags(edges, tag_cols)
+        edges = _present_tags(edges, tag_cols, tag_source=wf)
         return edges.drop(geom.PTS_FIELD, "refs")
 
     # segment-level path (networks nodes=True; frames.pyx:79-99):
@@ -140,7 +147,7 @@ def get_network(
         )
         .withColumn("osm_type", F.lit("way"))
     )
-    edges = _present_tags(edges, tag_cols)
+    edges = _present_tags(edges, tag_cols, tag_source=wf)
 
     # J9: node frame keeps every id referenced by kept edges' u/v,
     # even outside a bbox (frames.pyx:243-253 regression #199).

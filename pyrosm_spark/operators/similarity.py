@@ -410,3 +410,89 @@ def ann_ivf_sql(parquet_path: str, table: str = "embeddings", k: int = 5,
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def lsh_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup PAIRS via hyperplane-LSH bucketing — the
+    scale path that replaces ``dedup.embedding_cosine_pairs``' exact
+    all-pairs baseline: candidates are pairs sharing >= 1 of the
+    ``n_tables`` sign-hash buckets (equi-join shaped, skew-safe under
+    AQE), exact cosine runs only on candidates. Recall is governed by
+    the standard (1 - (1 - s^p)^t) LSH curve; at threshold 0.9+ the
+    default 6x8 configuration is effectively exhaustive. Deterministic
+    (seeded hyperplanes), so it value-checks against its SQL mirror."""
+    bucket = make_bucket_udf(dim, n_planes, n_tables)
+    b = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("bucket", F.explode(bucket(F.col("vec"))))
+    a, c = b.alias("a"), b.alias("b")
+    cand = (
+        a.join(c, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vid") < F.col("b.vid")))
+        .select(F.col("a.vid").alias("vid_a"),
+                F.col("b.vid").alias("vid_b"),
+                F.col("a.vec").alias("vec_a"),
+                F.col("b.vec").alias("vec_b"))
+        .dropDuplicates(["vid_a", "vid_b"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.sqrt(_dot(F.col("vec_a"), F.col("vec_a")))
+               * F.sqrt(_dot(F.col("vec_b"), F.col("vec_b")))), 6),
+    )
+    return (
+        scored.filter(F.col("cosine") >= threshold)
+        .select(F.col("vid_a").alias("vec_a"),
+                F.col("vid_b").alias("vec_b"), "cosine")
+    )
+
+
+def lsh_cosine_pairs_sql(table: str = "embeddings",
+                         threshold: float = 0.9, dim: int = 64,
+                         n_planes: int = 6, n_tables: int = 8) -> str:
+    """DuckDB mirror of ``lsh_cosine_pairs`` (same embedded-hyperplane
+    pattern as ``ann_lsh_sql``)."""
+    rows = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, t)
+        for p in range(n_planes):
+            lit = "[" + ", ".join(repr(float(w)) for w in planes[p]) + "]"
+            weight = 1 << (n_planes - 1 - p)
+            rows.append(f"SELECT {t} AS tbl, {weight} AS w, "
+                        f"CAST({lit} AS DOUBLE[]) AS plane")
+    planes_sql = " UNION ALL ".join(rows)
+    cos = ("list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), "
+           "CAST(y.embedding AS DOUBLE[]))")
+    return f"""
+        WITH planes AS ({planes_sql}),
+        buckets AS (
+            SELECT e.vec_id, p.tbl,
+                   CAST(sum(CASE WHEN list_dot_product(
+                            CAST(e.embedding AS DOUBLE[]), p.plane) > 0
+                        THEN p.w ELSE 0 END)
+                        + p.tbl * {1 << n_planes} AS BIGINT) AS bucket
+            FROM {table} e, planes p
+            GROUP BY e.vec_id, p.tbl
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM buckets a JOIN buckets b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_a, c.vec_b, round({cos}, 6) AS cosine
+        FROM cand c
+        JOIN {table} x ON x.vec_id = c.vec_a
+        JOIN {table} y ON y.vec_id = c.vec_b
+        WHERE round({cos}, 6) >= {threshold}
+    """

@@ -100,8 +100,13 @@ def test_to_graph(osm):
     nodes, edges = osm.get_network("driving", nodes=True)
     g = osm.to_graph(nodes, edges, network_type="driving")
     assert g.number_of_edges() > 0
-    with pytest.raises(NotImplementedError, match="igraph"):
+    # the igraph path runs the full pipeline + frame contract and fails
+    # only at the constructor (lib absent in this container) with the
+    # reference's own ImportError message
+    with pytest.raises(ImportError, match="python-igraph"):
         osm.to_graph(nodes, edges, graph_type="igraph")
+    with pytest.raises(ValueError, match="graph_type"):
+        osm.to_graph(nodes, edges, graph_type="nx")
 
 
 def test_tags_to_keep_and_extra_attributes(osm):

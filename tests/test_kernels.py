@@ -294,3 +294,62 @@ def test_fix_ring_area_sanity_keeps_original():
     fix_geometry's final fallback."""
     out = G.fix_ring(_fig8(), diff_threshold=1e-12)
     assert len(out) == 1 and np.array_equal(out[0], _fig8())
+
+
+# --------------------------------------------- validators (r2, utils port)
+
+def test_validate_custom_filter_semantics():
+    """Reference utils/__init__.py:16-74 + tests/test_validators.py:
+    plain-dict type checks, True coercion, advanced-form passthrough."""
+    import re as _re
+
+    from pyrosm_spark.functions.validators import validate_custom_filter
+
+    assert validate_custom_filter(None) is None
+    # True coerces to [True]
+    assert validate_custom_filter({"building": True}) == {"building": [True]}
+    # advanced forms pass through for the compiler to validate
+    adv = '["highway"~"path"]'
+    assert validate_custom_filter(adv) == adv
+    rx = {"highway": [_re.compile("foot")]}
+    assert validate_custom_filter(rx) == rx
+    with pytest.raises(ValueError):
+        validate_custom_filter(42)
+    with pytest.raises(ValueError, match="should be string"):
+        validate_custom_filter({1: ["x"]})
+    with pytest.raises(ValueError):
+        validate_custom_filter({"highway": "path"})  # bare string value
+    with pytest.raises(ValueError):
+        validate_custom_filter({"highway": [3.14]})
+
+
+def test_validate_misc_inputs():
+    from pyrosm_spark.functions.validators import (
+        validate_booleans,
+        validate_boundary_type,
+        validate_graph_type,
+        validate_osm_keys,
+        validate_tags_as_columns,
+    )
+
+    with pytest.raises(ValueError):
+        validate_osm_keys(42)
+    assert validate_osm_keys("highway") == "highway"
+    with pytest.raises(ValueError):
+        validate_tags_as_columns("building")
+    with pytest.raises(ValueError):
+        validate_tags_as_columns(["building", 7])
+    with pytest.raises(ValueError):
+        validate_booleans(True, False, "x")
+    with pytest.raises(ValueError, match="At least"):
+        validate_booleans(False, False, False)
+    assert validate_boundary_type(" Administrative ") == "administrative"
+    with pytest.raises(ValueError):
+        validate_boundary_type("township")
+    with pytest.raises(ValueError):
+        validate_boundary_type(3)
+    assert validate_graph_type("NetworkX") == "networkx"
+    with pytest.raises(ValueError):
+        validate_graph_type("nx")
+    with pytest.raises(ValueError):
+        validate_graph_type(7)

@@ -336,3 +336,21 @@ def test_ngram_df_cap_oracle_parity(spark):
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
            D.ngram_jaccard_pairs(df, threshold=0.05, max_df=4).collect()}
     assert got == exp
+
+
+def test_lsh_cosine_pairs_vs_oracle(spark, emb, duck):
+    got = S.lsh_cosine_pairs(emb, threshold=0.3)
+    rows, cols = run_oracle(duck, S.lsh_cosine_pairs_sql("embeddings", 0.3))
+    compare(got, rows, cols)
+
+
+def test_lsh_cosine_pairs_subset_of_exact(spark, emb):
+    """Every LSH-bucketed pair is a true pair (exact cosine refine):
+    the candidate stage only affects RECALL, never precision."""
+    lsh = {(r["vec_a"], r["vec_b"]): r["cosine"]
+           for r in S.lsh_cosine_pairs(emb, threshold=0.3).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in D.embedding_cosine_pairs(emb, threshold=0.3).collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
