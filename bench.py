@@ -133,7 +133,8 @@ def main():
     knn_sample = images.select("image_id", "lon", "lat").filter(
         F.pmod(F.xxhash64("image_id"), F.lit(4)) == 0)
     n_knn = bench("q_knn", lambda: knn_join(
-        knn_sample, pois, k=3, res=14, ring=1).count())
+        knn_sample, pois, k=3, res=14, ring=1,
+        point_id_col="image_id").count())
 
     # engine queries ------------------------------------------------------
     n_edges = bench("q_network_driving", lambda: get_network(

@@ -243,11 +243,18 @@ def knn_join(
     target_id_col: str = "id",
     target_lon: str = "lon",
     target_lat: str = "lat",
+    point_id_col: str | None = None,
 ) -> DataFrame:
     """k nearest targets per point, cell-local: targets are replicated
     into their (2*ring+1)^2 neighbor cells (native-SQL neighbor
     enumeration), points equi-join on their own cell, haversine ranks
     top-k per point. Entirely JVM-side (window + codegen arithmetic).
+
+    ``point_id_col`` names the UNIQUE per-point key that partitions the
+    top-k window. When omitted it defaults to the first non-lon/lat
+    column of ``points`` — but ONLY if that leaves exactly one
+    candidate; an ambiguous or empty id set raises instead of silently
+    ranking k-per-group (the round-1 review's window-key fragility).
 
     Correctness caveat (documented, same trade as H3 kRing kNN): a
     neighbor farther than the ring's cell span is missed; choose
@@ -289,8 +296,20 @@ def knn_join(
     )
     from pyspark.sql import Window as W
 
-    id_cols = [c for c in points.columns if c not in (lon_col, lat_col)]
-    part = id_cols[0] if id_cols else lon_col
+    if point_id_col is not None:
+        if point_id_col not in points.columns:
+            raise ValueError(
+                f"point_id_col {point_id_col!r} not in points columns "
+                f"{points.columns}")
+        part = point_id_col
+    else:
+        id_cols = [c for c in points.columns if c not in (lon_col, lat_col)]
+        if len(id_cols) != 1:
+            raise ValueError(
+                "knn_join cannot infer the per-point id column from "
+                f"{points.columns}; pass point_id_col= explicitly (the "
+                "top-k window must partition by a UNIQUE point key)")
+        part = id_cols[0]
     w = W.partitionBy(part).orderBy(F.col("distance_m").asc(),
                                     F.col("neighbor_id").asc())
     return (

@@ -203,3 +203,21 @@ def test_bbox_geometry_filter_exact(spark, buildings, synth_dir):
     # whole-region rect keeps everything
     full = bbox_geometry_filter(buildings, (24.0, 59.0, 26.0, 61.0))
     assert full.count() == buildings.count()
+
+
+def test_knn_join_requires_unambiguous_point_id(spark):
+    """The top-k window must partition by a UNIQUE point key — an
+    ambiguous id set raises instead of silently ranking k-per-group."""
+    import pytest as _pt
+
+    from pyrosm_spark.operators.spatial_join import knn_join
+
+    pts = spark.createDataFrame(
+        [("a", 1, 24.9, 60.2)], ["grp", "extra", "lon", "lat"])
+    tgt = spark.createDataFrame([(1, 24.91, 60.21)], ["id", "lon", "lat"])
+    with _pt.raises(ValueError, match="point_id_col"):
+        knn_join(pts, tgt, k=1)
+    out = knn_join(pts, tgt, k=1, point_id_col="grp")
+    assert out.count() == 1
+    with _pt.raises(ValueError, match="not in points columns"):
+        knn_join(pts, tgt, k=1, point_id_col="nope")
