@@ -183,7 +183,10 @@ class OSM:
     def get_data_by_custom_criteria(
         self,
         custom_filter=None,
+        osm_keys_to_keep=None,
         filter_type: str = "keep",
+        tags_as_columns=None,
+        extra_attributes=None,
         keep_nodes: bool = True,
         keep_ways: bool = True,
         keep_relations: bool = True,
@@ -191,24 +194,67 @@ class OSM:
     ) -> DataFrame:
         """pyrosm.py:1019-1185. ``custom_filter=None`` = keep-all mode:
         every element carrying >=1 real tag, no key/value filtering
-        (filter_type ignored, pyrosm.py:1117-1125)."""
+        (filter_type ignored, pyrosm.py:1117-1125).
+
+        ``osm_keys_to_keep`` (str | list) is the candidate-key gate: an
+        element must carry at least one of these keys in addition to
+        the value filter. ``tags_as_columns`` replaces the derived
+        presentation-column candidates; when absent they derive from
+        the filter keys' default_tags lists exactly as the reference
+        does (pyrosm.py:1148-1172 — keep-all mode exposes every known
+        layer's candidates, unknown keys fall back to the filter keys
+        themselves)."""
         from pyrosm_spark.functions.validators import (
             validate_booleans,
             validate_custom_filter,
+            validate_osm_keys,
+            validate_tags_as_columns,
         )
+        from pyrosm_spark.operators.default_tags import TAG_COLUMNS
 
         custom_filter = validate_custom_filter(custom_filter)
+        validate_osm_keys(osm_keys_to_keep)
+        if isinstance(osm_keys_to_keep, str):
+            osm_keys_to_keep = [osm_keys_to_keep]
+        filter_type = str(filter_type).lower()
+        if filter_type not in ("keep", "exclude"):
+            raise ValueError(
+                "'filter_type' -parameter should be either 'keep' or "
+                "'exclude'.")
         validate_booleans(keep_nodes, keep_ways, keep_relations)
+
+        keep_all = custom_filter is None
+        if tags_as_columns is None:
+            cols: list = []
+            if keep_all:
+                for lst in TAG_COLUMNS.values():
+                    cols += lst
+            elif isinstance(custom_filter, dict):
+                for k in custom_filter:
+                    cols += TAG_COLUMNS.get(k, [])
+                if not cols:
+                    cols = list(custom_filter.keys())
+            tags_as_columns = list(dict.fromkeys(cols))
+        else:
+            validate_tags_as_columns(tags_as_columns)
+            tags_as_columns = list(tags_as_columns)
+        if extra_attributes is not None:
+            validate_tags_as_columns(extra_attributes)
+            tags_as_columns += [k for k in extra_attributes
+                                if k not in tags_as_columns]
+
         n, w, r = self._src(timestamp)
         out = L.get_layer(
             n, w, r,
             custom_filter=custom_filter,
             filter_type=filter_type,
-            keep_all=custom_filter is None,
+            keep_all=keep_all,
             include_nodes=keep_nodes,
             include_relations=keep_relations,
             bbox=self.bounding_box,
             complete_relations=self.complete_relations,
+            tag_cols=tags_as_columns,
+            osm_keys=osm_keys_to_keep,
         )
         if not keep_ways:
             from pyspark.sql import functions as F

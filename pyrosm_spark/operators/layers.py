@@ -65,14 +65,17 @@ def get_layer(
     bbox: tuple | None = None,
     complete_relations: bool = False,
     tag_cols=(),
+    osm_keys=None,
 ) -> DataFrame:
     """Generic layer query (get_data_by_custom_criteria equivalent,
     pyrosm.py:1027-1185). Returns a unioned feature DataFrame with
     ``osm_type`` in {node, way, relation}, WKB ``geometry``, the tags
-    map, and presentation tag columns."""
+    map, and presentation tag columns. ``osm_keys`` is the reference's
+    ``osm_keys_to_keep`` candidate gate: an element must carry at least
+    one of these keys regardless of the value filter."""
     pred = element_filter_column(
-        F.col("tags"), custom_filter, filter_type=filter_type,
-        keep_all=keep_all,
+        F.col("tags"), custom_filter, osm_keys=osm_keys,
+        filter_type=filter_type, keep_all=keep_all,
     )
 
     kept_ways = ways.filter(pred)

@@ -129,3 +129,41 @@ def test_driving_service_alias(osm):
     svc = {r["id"] for r in
            osm.get_network("driving+service").select("id").collect()}
     assert drv <= svc
+
+
+def test_custom_criteria_osm_keys_and_columns(osm):
+    """pyrosm.py:1019-1185 parity: osm_keys_to_keep gates candidates,
+    derived tags_as_columns come from the filter keys' default lists,
+    tags_as_columns= replaces them, extra_attributes appends."""
+    from pyspark.sql import functions as F
+
+    # exclude-filter over highway ways gated on the highway key — the
+    # #112 drive-filter shape
+    out = osm.get_data_by_custom_criteria(
+        custom_filter={"highway": ["footway"]},
+        osm_keys_to_keep="highway",
+        filter_type="exclude",
+        keep_nodes=False, keep_relations=False)
+    hw = {r[0] for r in out.select(F.col("tags")["highway"]).collect()}
+    assert "footway" not in hw and len(hw) > 0
+    # every returned element carries the gate key
+    assert out.filter(F.col("tags")["highway"].isNull()).count() == 0
+
+    # derived presentation candidates: highway's default list
+    assert "highway" in out.columns
+    # explicit tags_as_columns replaces; extra_attributes appends
+    out2 = osm.get_data_by_custom_criteria(
+        custom_filter={"highway": True},
+        tags_as_columns=["highway"],
+        extra_attributes=["name"],
+        keep_nodes=False, keep_relations=False)
+    assert "highway" in out2.columns and "name" in out2.columns
+    assert "maxspeed" not in out2.columns
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="filter_type"):
+        osm.get_data_by_custom_criteria({"highway": True},
+                                        filter_type="drop")
+    with _pt.raises(ValueError):
+        osm.get_data_by_custom_criteria({"highway": True},
+                                        osm_keys_to_keep=42)
