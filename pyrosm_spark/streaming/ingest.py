@@ -184,3 +184,22 @@ def run_to_memory(stream_df: DataFrame, name: str,
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def streaming_pip_join(images: DataFrame, polygons,
+                       res: int = 15) -> DataFrame:
+    """Stream-static point-in-polygon join: a STREAMING image/point
+    source against a STATIC (batch) polygon frame — the standard
+    Structured Streaming enrichment shape (stream-static joins are
+    stateless: each micro-batch equi-joins the static side, which
+    Spark broadcasts when small). Reuses the exact batch operator, so
+    stream results equal the batch join on the same input by
+    construction — that equality is the test.
+
+    At scale the static polygon cover is the broadcast dimension
+    (cells x features), the stream is the fact side; no state store,
+    no watermark needed.
+    """
+    from pyrosm_spark.operators.spatial_join import point_in_polygon_join
+
+    return point_in_polygon_join(images, polygons, res=res)

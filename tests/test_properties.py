@@ -178,3 +178,50 @@ def test_bracket_parser_matches_dict_form(tags):
     bracket = CompiledFilter(parse_bracket_filter('["highway"="residential"]'))
     dictf = CompiledFilter(_dict_to_groups({"highway": ["residential"]}))
     assert bracket.matches(tags) == dictf.matches(tags)
+
+
+# ---------------------------------------------------------- G7 fix ladder
+
+@given(st.lists(st.tuples(st.floats(min_value=-10, max_value=10,
+                                    allow_nan=False),
+                          st.floats(min_value=-10, max_value=10,
+                                    allow_nan=False)),
+                min_size=4, max_size=10, unique=True))
+@settings(deadline=None, max_examples=60)
+def test_polygonize_preserves_even_odd_parity(pts):
+    """Noding + splitting a (possibly self-intersecting) ring regroups
+    its segment set without changing it geometrically — so even-odd
+    ray-cast membership at any probe point must be IDENTICAL between
+    the original ring and the union of the split simple sub-rings
+    (probe points away from edges). This is the invariant that makes
+    the G7 repair safe inside the multipolygon overlay."""
+    ring = np.array(list(pts) + [list(pts[0])], dtype=np.float64)
+    parts = G.polygonize_ring(ring)
+    if not parts:
+        return
+    rng = np.random.default_rng(7)
+    px = rng.uniform(-12, 12, 80)
+    py = rng.uniform(-12, 12, 80)
+    orig = G.points_in_ring(px, py, ring)
+    union = np.zeros_like(orig)
+    for p in parts:
+        union |= G.points_in_ring(px, py, p)
+    # union-of-simple-lobes equals parity only where windings don't
+    # overlap; the exact invariant that always holds is XOR-parity
+    xor = np.zeros_like(orig)
+    for p in parts:
+        xor ^= G.points_in_ring(px, py, p)
+    assert np.array_equal(orig, xor)
+
+
+@given(st.lists(st.tuples(st.floats(min_value=-5, max_value=5,
+                                    allow_nan=False),
+                          st.floats(min_value=-5, max_value=5,
+                                    allow_nan=False)),
+                min_size=4, max_size=8, unique=True))
+@settings(deadline=None, max_examples=60)
+def test_polygonize_outputs_are_simple(pts):
+    ring = np.array(list(pts) + [list(pts[0])], dtype=np.float64)
+    for p in G.polygonize_ring(ring):
+        if abs(G.signed_area(p)) > 1e-12:
+            assert G.ring_is_simple(p)

@@ -102,3 +102,35 @@ def test_streaming_exact_dedup_first_arrival(spark, synth_dir):
               .distinct().count())
     assert got.count() == n_keys
     assert got.select("content_key").distinct().count() == n_keys
+
+
+def test_streaming_pip_equals_batch(spark, synth_dir, tmp_path_factory):
+    """Stream-static PIP join == the batch join on the same rows."""
+    from pyrosm_spark.operators.layers import get_buildings
+    from pyrosm_spark.operators.osm_source import load_osm
+    from pyrosm_spark.operators.spatial_join import point_in_polygon_join
+    from pyrosm_spark.streaming.ingest import (
+        read_images_stream,
+        run_to_memory,
+        streaming_pip_join,
+    )
+
+    nodes, ways, rels = load_osm(spark, synth_dir)
+    polygons = get_buildings(nodes, ways, rels).select(
+        "id", "osm_type", "geometry").cache()
+    polygons.count()
+
+    img_path = f"{synth_dir}/images.parquet"
+    stream = read_images_stream(spark, img_path)
+    out = streaming_pip_join(stream, polygons, res=15).select(
+        "image_id", "poly_id", "poly_osm_type")
+    run_to_memory(out, "q_stream_pip", output_mode="append")
+    got = {(r["image_id"], r["poly_id"], r["poly_osm_type"])
+           for r in spark.sql("SELECT * FROM q_stream_pip").collect()}
+
+    batch = point_in_polygon_join(
+        spark.read.parquet(img_path), polygons, res=15
+    ).select("image_id", "poly_id", "poly_osm_type")
+    exp = {(r["image_id"], r["poly_id"], r["poly_osm_type"])
+           for r in batch.collect()}
+    assert got == exp and len(exp) > 0
