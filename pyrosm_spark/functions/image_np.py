@@ -219,3 +219,56 @@ def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
     # to all-pairs (real photos have texture; the synth must too)
     noise = rng.integers(-40, 41, px.shape, dtype=np.int16)
     return np.clip(px + noise, 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# vid1 — deterministic synthetic video container (frame-sampling target)
+# --------------------------------------------------------------------------
+#
+# Real-world video needs an ffmpeg/pyav build this container lacks; the
+# engine's frame-sampling PLUMBING (schema, partitioning, batch shape)
+# is format-agnostic, so it is exercised against this self-contained
+# container: a header + length-prefixed qimg frames. Random access per
+# frame = one offset walk, no full decode.
+
+_VID_MAGIC = b"VID1"
+
+
+def encode_vid(frames: list, fps: int = 10) -> bytes:
+    """Container: magic | u16 n_frames | u16 fps | (u32 len + qimg)*."""
+    payloads = [encode_qimg(f) for f in frames]
+    head = _VID_MAGIC + struct.pack("<HH", len(payloads), fps)
+    body = b"".join(struct.pack("<I", len(p)) + p for p in payloads)
+    return head + body
+
+
+def vid_info(buf: bytes):
+    """(n_frames, fps); raises on a non-vid1 payload."""
+    if buf[:4] != _VID_MAGIC:
+        raise NotImplementedError(
+            "not a vid1 payload; real containers (mp4 etc.) need an "
+            "ffmpeg/pyav build absent from this environment")
+    n, fps = struct.unpack_from("<HH", buf, 4)
+    return n, fps
+
+
+def decode_vid_frame(buf: bytes, idx: int) -> np.ndarray:
+    """Random-access decode of frame ``idx``."""
+    n, _ = vid_info(buf)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} out of range 0..{n - 1}")
+    off = 8
+    for i in range(idx):
+        (ln,) = struct.unpack_from("<I", buf, off)
+        off += 4 + ln
+    (ln,) = struct.unpack_from("<I", buf, off)
+    return decode_qimg(buf[off + 4:off + 4 + ln])
+
+
+def synth_video(seed: int, w: int, h: int, n_frames: int,
+                fps: int = 10) -> bytes:
+    """Deterministic test video: per-frame synth_pixels with a seed
+    offset so consecutive frames differ."""
+    return encode_vid(
+        [synth_pixels(seed * 1009 + i, w, h) for i in range(n_frames)],
+        fps=fps)

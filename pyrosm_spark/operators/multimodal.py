@@ -103,14 +103,49 @@ def resize_images(images: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFram
     )
 
 
-def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
-    """STUB — video frame sampling needs an av/ffmpeg decoder absent
-    from this container. The distributed shape would be identical to
-    decode_features (mapInPandas, binary in / struct rows out)."""
-    raise NotImplementedError(
-        "video frame sampling requires an ffmpeg/pyav build; "
-        "swap this stub when the dependency is available"
-    )
+FRAME_SAMPLE_SCHEMA = (
+    "video_id string, frame_idx int, ok boolean, err string, "
+    "w int, h int, phash long"
+)
+
+
+def frame_sample(videos: DataFrame, every_n: int = 10,
+                 id_col: str = "video_id",
+                 bytes_col: str = "bytes") -> DataFrame:
+    """Sample every ``every_n``-th frame of each video payload and emit
+    one row per sampled frame (index, shape, perceptual hash) —
+    mapInPandas, binary in / struct rows out, the decode_features
+    plumbing applied to the temporal axis. Decodes the deterministic
+    ``vid1`` container for real (random-access per frame);
+    unsupported real-world containers (mp4 etc., which need an
+    ffmpeg/pyav build this environment lacks) degrade into per-row
+    ``err`` records instead of failing the job — the same container-
+    constraint boundary as jpeg/compressed audio."""
+    def batch_fn(it):
+        from pyrosm_spark.functions import image_np as I
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                vid = getattr(r, id_col)
+                buf = bytes(getattr(r, bytes_col))
+                try:
+                    n, _fps = I.vid_info(buf)
+                    for idx in range(0, n, max(every_n, 1)):
+                        px = I.decode_vid_frame(buf, idx)
+                        rows.append((vid, idx, True, None,
+                                     px.shape[1], px.shape[0],
+                                     I.phash64(px)))
+                except Exception as e:  # degrade per row, never fail
+                    rows.append((vid, -1, False,
+                                 f"{type(e).__name__}: {e}", None, None,
+                                 None))
+            yield pd.DataFrame(rows, columns=[
+                "video_id", "frame_idx", "ok", "err", "w", "h", "phash"])
+
+    return videos.select(
+        F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)
+    ).mapInPandas(batch_fn, schema=FRAME_SAMPLE_SCHEMA)
 
 
 # --------------------------------------------------------------------------

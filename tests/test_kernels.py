@@ -353,3 +353,84 @@ def test_validate_misc_inputs():
         validate_graph_type("nx")
     with pytest.raises(ValueError):
         validate_graph_type(7)
+
+
+# ------------------------------------- advanced-filter semantics (r2 port)
+
+def test_bracket_all_operators():
+    """Reference tests/test_advanced_filter.py:74-94 — all six bracket
+    operators, with negative ops satisfied when the key is absent."""
+    eq = CompiledFilter(parse_bracket_filter('["a"="x"]'))
+    assert eq.matches({"a": "x"}) and not eq.matches({"a": "y"})
+    ne = CompiledFilter(parse_bracket_filter('["k"]["a"!="x"]'))
+    assert ne.matches({"k": "1"})
+    assert not ne.matches({"k": "1", "a": "x"})
+    assert ne.matches({"k": "1", "a": "y"})
+    rx = CompiledFilter(parse_bracket_filter('["a"~"^foo"]'))
+    assert rx.matches({"a": "foobar"}) and not rx.matches({"a": "barfoo"})
+    nrx = CompiledFilter(parse_bracket_filter('["k"]["a"!~"^foo"]'))
+    assert nrx.matches({"k": "1"})
+    assert not nrx.matches({"k": "1", "a": "foobar"})
+    ex = CompiledFilter(parse_bracket_filter('["a"]'))
+    assert ex.matches({"a": ""}) and not ex.matches({"b": "1"})
+    nex = CompiledFilter(parse_bracket_filter('["k"][!"a"]'))
+    assert nex.matches({"k": "1"})
+    assert not nex.matches({"k": "1", "a": "x"})
+
+
+def test_bracket_whitespace_and_quote_aware():
+    f = CompiledFilter(parse_bracket_filter(' ["a"="x"]  ["b"~"y"] '))
+    assert f.matches({"a": "x", "b": "yy"})
+    # a ] inside a quoted value must not end the bracket early
+    g = CompiledFilter(parse_bracket_filter('["name"~"a]b"]'))
+    assert g.matches({"name": "xa]by"})
+
+
+def test_regex_dict_mixes_true_str_and_regex():
+    f = compile_custom_filter(
+        {"building": True, "shop": [True], "name": ["Foo"],
+         "ref": [re.compile("A1")]})
+    assert isinstance(f, CompiledFilter)
+    assert f.matches({"building": "yes"})
+    assert f.matches({"shop": "kiosk"})
+    assert f.matches({"name": "Foo"})
+    assert f.matches({"ref": "A1 road"})
+    assert not f.matches({"highway": "primary"})
+
+
+def test_regex_matches_semicolon_joined_value(spark):
+    """#116 end-to-end over Spark: a regex value substring-matches a
+    ;-joined multi-value tag, which a literal exact-match misses."""
+    from pyspark.sql import functions as F
+
+    from pyrosm_spark.functions.filters import element_filter_column
+
+    df = spark.createDataFrame(
+        [(1, {"surface": "paved;cobblestone"}),
+         (2, {"surface": "cobblestone"}),
+         (3, {"surface": "paved"})],
+        "id long, tags map<string,string>")
+    rx = {r["id"] for r in df.filter(element_filter_column(
+        F.col("tags"), {"surface": [re.compile("cobblestone")]})).collect()}
+    lit = {r["id"] for r in df.filter(element_filter_column(
+        F.col("tags"), {"surface": ["cobblestone"]})).collect()}
+    assert rx == {1, 2}
+    assert lit == {2}
+
+
+def test_regex_value_union_equals_literal_union(spark):
+    """#116 — a regex alternation equals the literal-list union."""
+    from pyspark.sql import functions as F
+
+    from pyrosm_spark.functions.filters import element_filter_column
+
+    df = spark.createDataFrame(
+        [(i, {"highway": v}) for i, v in enumerate(
+            ["footway", "cycleway", "primary", "footway"])],
+        "id long, tags map<string,string>")
+    rx = {r["id"] for r in df.filter(element_filter_column(
+        F.col("tags"),
+        {"highway": [re.compile("^footway$|^cycleway$")]})).collect()}
+    lit = {r["id"] for r in df.filter(element_filter_column(
+        F.col("tags"), {"highway": ["footway", "cycleway"]})).collect()}
+    assert rx == lit and len(rx) == 3

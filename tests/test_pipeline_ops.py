@@ -213,9 +213,31 @@ def test_resize_images_roundtrip(spark, synth_dir):
         assert px.shape == (8, 8, 3)
 
 
-def test_frame_sample_stub():
-    with pytest.raises(NotImplementedError):
-        M.frame_sample(None)
+def test_frame_sample_vid1(spark):
+    """Video frame sampling over the deterministic vid1 container:
+    every_n-th frame decoded for real (shape + phash), unsupported
+    containers degrade to per-row err records."""
+    from pyrosm_spark.functions import image_np as I
+
+    rows = [("v1", bytearray(I.synth_video(1, 16, 12, 7))),
+            ("v2", bytearray(I.synth_video(2, 8, 8, 3))),
+            ("bad", bytearray(b"\x00\x00mp4garbage"))]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    out = M.frame_sample(df, every_n=3).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    # v1: frames 0, 3, 6 sampled
+    f1 = sorted(r["frame_idx"] for r in by_vid["v1"])
+    assert f1 == [0, 3, 6]
+    for r in by_vid["v1"]:
+        assert r["ok"] and (r["w"], r["h"]) == (16, 12)
+        exp = I.phash64(I.decode_vid_frame(
+            I.synth_video(1, 16, 12, 7), r["frame_idx"]))
+        assert r["phash"] == exp
+    assert sorted(r["frame_idx"] for r in by_vid["v2"]) == [0]
+    (bad,) = by_vid["bad"]
+    assert not bad["ok"] and "NotImplementedError" in bad["err"]
 
 
 def test_blocked_self_join_equals_plain(spark, docs, synth_dir):
