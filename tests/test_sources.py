@@ -64,3 +64,52 @@ def test_write_table_partitioned_roundtrip(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(n_regionkey" in plan \
         or one.count() == src.filter(F.col("n_regionkey") == 2).count()
     assert one.count() == 5
+
+
+def test_geoparquet_sink_roundtrip(spark, synth_dir, tmp_path):
+    """S8 — the sink writes real GeoParquet 1.0 footers: every part
+    file carries the 'geo' key with WKB encoding, the occurring
+    geometry types, and the dataset bbox; rows round-trip exactly."""
+    import json
+
+    import pyarrow.parquet as pq2
+
+    from pyrosm_spark.operators.layers import get_buildings
+    from pyrosm_spark.operators.osm_source import load_osm
+    from pyrosm_spark.sources.geoparquet import (
+        read_geo_metadata,
+        read_geoparquet,
+        write_geoparquet,
+    )
+
+    nodes, ways, rels = load_osm(spark, synth_dir)
+    b = get_buildings(nodes, ways, rels).select("id", "osm_type",
+                                                "geometry")
+    out = str(tmp_path / "buildings_geo")
+    geo = write_geoparquet(b, out)
+    assert geo["version"] == "1.0.0"
+    assert geo["primary_column"] == "geometry"
+    col = geo["columns"]["geometry"]
+    assert col["encoding"] == "WKB"
+    assert set(col["geometry_types"]) <= {
+        "Point", "LineString", "Polygon", "MultiPolygon",
+        "MultiLineString"}
+    assert "Polygon" in col["geometry_types"] or \
+        "MultiPolygon" in col["geometry_types"]
+    x0, y0, x1, y1 = col["bbox"]
+    assert x0 < x1 and y0 < y1
+
+    # every part file is stamped identically
+    import os as _os
+    parts = [f for f in _os.listdir(out) if f.endswith(".parquet")]
+    assert parts
+    for f in parts:
+        meta = pq2.read_schema(_os.path.join(out, f)).metadata
+        assert json.loads(meta[b"geo"].decode()) == geo
+    assert read_geo_metadata(out) == geo
+
+    back = read_geoparquet(spark, out)
+    assert sorted((r["id"], r["osm_type"]) for r in
+                  back.select("id", "osm_type").collect()) == \
+        sorted((r["id"], r["osm_type"]) for r in
+               b.select("id", "osm_type").collect())
