@@ -439,3 +439,48 @@ def test_to_igraph_raises_clean_importerror(spark, synth_dir):
     if not has_pandana:
         with _pt.raises(ImportError, match="pandana"):
             to_pandana(gnodes, edges)
+
+
+def _scc_maps(spark, rows):
+    from pyrosm_spark.operators.graph import (
+        scc_components,
+        scc_components_distributed,
+    )
+
+    df = spark.createDataFrame(rows, "u long, v long")
+    tarjan = {r["node"]: r["comp"] for r in scc_components(df).collect()}
+    dist = {r["node"]: r["comp"]
+            for r in scc_components_distributed(df).collect()}
+    return tarjan, dist
+
+
+def test_distributed_scc_equals_tarjan_cycles_and_tails(spark):
+    """Trim + coloring + backward extraction == per-component Tarjan,
+    label-for-label, on the classic shapes: cycle with a tail, two
+    cycles bridged one-way, a self-loop, and a pure DAG."""
+    rows = (
+        [(1, 2), (2, 3), (3, 1),            # 3-cycle {1,2,3}
+         (3, 4), (4, 5),                    # tail (singletons)
+         (10, 11), (11, 10),                # 2-cycle {10,11}
+         (11, 20), (20, 21), (21, 22), (22, 20),  # bridged 3-cycle
+         (30, 30),                          # self-loop singleton SCC
+         (40, 41), (41, 42)]                # DAG chain
+    )
+    tarjan, dist = _scc_maps(spark, rows)
+    assert dist == tarjan
+    assert dist[1] == dist[2] == dist[3] == 1
+    assert dist[10] == dist[11] == 10
+    assert dist[20] == dist[21] == dist[22] == 20
+    assert dist[4] == 4 and dist[5] == 5 and dist[30] == 30
+
+
+def test_distributed_scc_equals_tarjan_random(spark):
+    """Differential on a random digraph (seeded) — same SCC labels."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    n = 40
+    rows = [(int(rng.integers(0, n)), int(rng.integers(0, n)))
+            for _ in range(90)]
+    tarjan, dist = _scc_maps(spark, rows)
+    assert dist == tarjan
