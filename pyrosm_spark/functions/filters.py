@@ -158,6 +158,14 @@ class CompiledFilter:
 # --------------------------------------------------------------------------
 # Overpass bracket parsing ('["k"~"v"]["k2"]' etc.) — same grammar as
 # filter_compiler.py:125-254 (tag-filter subset of Overpass QL).
+#
+# Provenance note: this parser section is DERIVED FROM pyrosm's
+# filter_compiler (open source, MIT) — it must parse the identical
+# public Overpass-bracket grammar into the identical documented IR for
+# filter parity, so the tokenizer/operator tables follow the reference
+# closely (SURVEY §7.1 step 2 directs this). The evaluation backend is
+# fully rewritten: conditions lower to Catalyst Column expressions
+# (Condition.to_column), not per-row Python matching.
 # --------------------------------------------------------------------------
 
 def _read_quoted(text: str) -> tuple:
