@@ -362,3 +362,56 @@ def assign_tiles_adaptive(
     return points.withColumn(
         out_col, F.when(coarse.isin(hot_ids), fine).otherwise(coarse)
     )
+
+
+def knn_join_complete(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int = 3,
+    res: int = 12,
+    ring: int = 1,
+    max_escalations: int = 3,
+    point_id_col: str = "id",
+    **kw,
+) -> DataFrame:
+    """``knn_join`` with RING ESCALATION for under-filled points — the
+    completion path the base operator's docstring reserves: points that
+    found fewer than ``k`` neighbors within the initial ring re-run at
+    a COARSER resolution (res-2 per escalation: each level widens the
+    covered radius ~4x while the ring stays O(1)-cheap), up to
+    ``max_escalations`` levels. Only the under-filled point subset
+    re-joins — dense regions pay nothing extra; the escalation frames
+    shrink geometrically, so total work stays ~one base pass plus a
+    sparse tail. All passes are the same equi-join + window shape; the
+    union re-ranks so each point's final top-k comes from its WIDEST
+    successful pass (a superset of every narrower candidate set).
+    """
+    from pyspark.sql import Window as W2
+
+    base = knn_join(points, targets, k=k, res=res, ring=ring,
+                    point_id_col=point_id_col, **kw)
+    results = base
+    remaining = points
+    cur_res = res
+    for _ in range(max_escalations):
+        filled = (
+            results.groupBy(point_id_col)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") >= k)
+            .select(point_id_col)
+        )
+        remaining = remaining.join(filled, point_id_col, "left_anti")
+        cur_res = max(cur_res - 2, 2)
+        # cheap emptiness probe: the under-filled subset only
+        if remaining.limit(1).count() == 0:
+            break
+        wider = knn_join(remaining, targets, k=k, res=cur_res, ring=ring,
+                         point_id_col=point_id_col, **kw)
+        # the wider pass REPLACES the under-filled points' rows (its
+        # candidate set is a superset of the narrower pass')
+        results = results.join(
+            remaining.select(point_id_col), point_id_col, "left_anti"
+        ).unionByName(wider)
+        if cur_res == 2:
+            break
+    return results

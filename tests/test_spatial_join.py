@@ -221,3 +221,40 @@ def test_knn_join_requires_unambiguous_point_id(spark):
     assert out.count() == 1
     with _pt.raises(ValueError, match="not in points columns"):
         knn_join(pts, tgt, k=1, point_id_col="nope")
+
+
+def test_knn_join_complete_escalates_sparse_points(spark):
+    """A point whose initial ring holds < k targets escalates to a
+    coarser resolution and completes its top-k; dense points keep
+    their base-pass answers (same values as plain knn_join)."""
+    from pyrosm_spark.operators.spatial_join import (
+        knn_join,
+        knn_join_complete,
+    )
+
+    # targets clustered near (24.9, 60.2); one far point at (26.5, 61)
+    tgt = spark.createDataFrame(
+        [(i, 24.9 + i * 1e-4, 60.2 + i * 1e-4) for i in range(5)],
+        ["id", "lon", "lat"])
+    pts = spark.createDataFrame(
+        [("near", 24.9005, 60.2005), ("far", 26.5, 61.0)],
+        ["pid", "lon", "lat"])
+    base = knn_join(pts, tgt, k=3, res=12, ring=1, point_id_col="pid")
+    by_pid = {}
+    for r in base.collect():
+        by_pid.setdefault(r["pid"], []).append(r)
+    assert len(by_pid.get("near", [])) == 3
+    assert len(by_pid.get("far", [])) < 3  # sparse: ring missed targets
+
+    comp = knn_join_complete(pts, tgt, k=3, res=12, ring=1,
+                             max_escalations=4, point_id_col="pid")
+    by_pid_c = {}
+    for r in comp.collect():
+        by_pid_c.setdefault(r["pid"], []).append(r)
+    assert len(by_pid_c["far"]) == 3  # escalation completed the set
+    # dense point: identical rows to the base pass
+    near_base = sorted((r["neighbor_id"], r["knn_rank"])
+                       for r in by_pid["near"])
+    near_comp = sorted((r["neighbor_id"], r["knn_rank"])
+                       for r in by_pid_c["near"])
+    assert near_base == near_comp
