@@ -148,3 +148,27 @@ def write_table(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(location) if fmt == "parquet" else writer.format(
         fmt).save(location)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 64,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame as a BUCKETED parquet table (hash-bucketed
+    on ``bucket_cols``, optionally sorted within buckets) — the storage
+    layout that removes that side's shuffle from every downstream
+    equi-join/aggregation on the bucket key. This is how the node
+    table ships on a real cluster: the J1 coordinate join then
+    exchanges only the exploded refs side (plan-asserted in
+    tests/test_sources.py). Bucketed output requires the session
+    catalog (saveAsTable), not a bare path — Spark's bucketing
+    metadata lives in the table definition."""
+    writer = (df.write.mode(mode)
+              .bucketBy(int(n_buckets), *list(bucket_cols)))
+    if sort_cols:
+        writer = writer.sortBy(*list(sort_cols))
+    writer.format("parquet").saveAsTable(name)

@@ -113,3 +113,44 @@ def test_geoparquet_sink_roundtrip(spark, synth_dir, tmp_path):
                   back.select("id", "osm_type").collect()) == \
         sorted((r["id"], r["osm_type"]) for r in
                b.select("id", "osm_type").collect())
+
+
+def test_bucketed_nodes_join_skips_node_side_exchange(spark, synth_dir):
+    """The README's cluster claim, plan-proven: with the node table
+    bucketed by id, the J1 coordinate join exchanges ONLY the exploded
+    refs side — the bucketed scan feeds the join without a shuffle."""
+    from pyspark.sql import functions as F
+
+    from pyrosm_spark.operators.osm_source import load_osm
+    from pyrosm_spark.sources.table import write_bucketed_table
+
+    nodes, ways, _ = load_osm(spark, synth_dir)
+    write_bucketed_table(
+        nodes.select("id", "lon", "lat"), "nodes_bucketed",
+        bucket_cols=["id"], n_buckets=8, sort_cols=["id"])
+    try:
+        nb = spark.table("nodes_bucketed")
+        refs = ways.select(F.col("id").alias("way_id"),
+                           F.explode("refs").alias("id"))
+
+        def n_exchanges(df):
+            return df._jdf.queryExecution().executedPlan().toString() \
+                .count("Exchange")
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bucketed_plan = refs.join(nb, "id")
+            plain_plan = refs.join(nodes.select("id", "lon", "lat"), "id")
+            nb_ex = n_exchanges(bucketed_plan)
+            plain_ex = n_exchanges(plain_plan)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # plain: both sides exchange; bucketed: only the refs side
+        assert plain_ex == 2, plain_ex
+        assert nb_ex == 1, nb_ex
+        # and the join still returns the same rows
+        assert bucketed_plan.count() == plain_plan.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nodes_bucketed")
