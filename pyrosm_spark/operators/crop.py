@@ -70,3 +70,33 @@ def crop_tables(
         kept_rel_ids.withColumnRenamed("rid", "id"), "id", "left_semi")
 
     return kept_nodes, kept_ways, kept_relations
+
+
+def crop_to_dataset(
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    bbox: tuple,
+    out_dir: str,
+) -> dict:
+    """The full crop WORKFLOW (reference: ``OSM.crop`` writes a new
+    PBF, pbf_export.pyx:551-638): select the consistent subset and
+    persist it as this engine's native interchange dataset —
+    ``osm_nodes/osm_ways/osm_relations.parquet`` under ``out_dir`` —
+    so ``osm_source.load_osm(spark, out_dir)`` reads the crop exactly
+    like any other world. Returns per-table row counts (the crop
+    manifest). Byte-level PBF output stays out of scope (SURVEY §7.3);
+    everything up to the container format is the same operation.
+    """
+    import os
+
+    from pyrosm_spark.sources.table import write_table
+
+    n, w, r = crop_tables(nodes, ways, relations, bbox)
+    counts = {}
+    for name, df in (("osm_nodes", n), ("osm_ways", w),
+                     ("osm_relations", r)):
+        path = os.path.join(out_dir, f"{name}.parquet")
+        write_table(df, path, fmt="parquet")
+        counts[name] = df.count()
+    return counts

@@ -95,3 +95,30 @@ def test_caption_roundtrip_through_checkpoint(spark, synth_dir, tmp_path):
     exp = {r["image_id"]: r["caption"]
            for r in pq.read_table(src_path).to_pylist()}
     assert got == exp
+
+
+def test_crop_to_dataset_roundtrip(spark, synth_dir, tmp_path):
+    """Crop -> persisted dataset -> load_osm reads it like any world;
+    the reread triple row-matches the in-memory crop, and a network
+    query over the crop equals the same query over the in-memory
+    frames (the reference's crop-then-reopen workflow, container
+    format aside)."""
+    from pyrosm_spark.operators.crop import crop_tables, crop_to_dataset
+    from pyrosm_spark.operators.network import get_network
+    from pyrosm_spark.operators.osm_source import load_osm
+    from pyrosm_spark.synth.osm import TEST_BBOX
+
+    nodes, ways, rels = load_osm(spark, synth_dir)
+    out = str(tmp_path / "cropped")
+    counts = crop_to_dataset(nodes, ways, rels, TEST_BBOX, out)
+    n2, w2, r2 = load_osm(spark, out)
+    assert n2.count() == counts["osm_nodes"] > 0
+    assert w2.count() == counts["osm_ways"] > 0
+    assert r2.count() == counts["osm_relations"] > 0
+
+    cn, cw, cr = crop_tables(nodes, ways, rels, TEST_BBOX)
+    direct = sorted(r["id"] for r in
+                    get_network(cn, cw, "driving").select("id").collect())
+    reread = sorted(r["id"] for r in
+                    get_network(n2, w2, "driving").select("id").collect())
+    assert direct == reread and len(reread) > 0
