@@ -10,8 +10,9 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) picks the
 driver-table scale; bench-scale synthetic OSM/images tables are
 generated once per sf into data/bench_<sf>/ (deterministic, cached).
 SPARK_GRAFT_CPUS sets local parallelism (the scaling harness runs this
-script at 8 and 32 to evidence the north rule's two-cluster-size
-criterion; see scripts/scaling_bench.py).
+script at 2 and 8 — inside the host's physical-core budget — to
+evidence the north rule's two-cluster-size criterion; see
+scripts/scaling_bench.py).
 """
 
 from __future__ import annotations

@@ -302,3 +302,42 @@ def test_layer_materializes_only_occurring_candidates(spark, osm):
         # every materialized column has at least one value
         assert b.filter(F.col(c).isNotNull()).limit(1).count() == 1, c
     assert "building" in tag_cols
+
+
+def test_boundaries_types_name_search_and_validation(spark, osm):
+    """Reference test_boundary_parsing semantics over the synth world:
+    default administrative, boundary_type='all' superset,
+    national_park selection, substring name search, and invalid-type
+    rejection through the facade."""
+    from pyrosm_spark.api import OSM
+
+    nodes, ways, rels = osm
+    admin = get_boundaries(nodes, ways, rels)
+    names_admin = {r[0] for r in
+                   admin.select(F.col("tags")["name"]).collect()}
+    assert "Testilä" in names_admin
+
+    allb = get_boundaries(nodes, ways, rels, boundary_type="all")
+    park = get_boundaries(nodes, ways, rels,
+                          boundary_type="national_park")
+    # the synth national_park relation's only member is ONE part of a
+    # split ring — the ring cannot close, so the relation drops (the
+    # reference's open-ring drop semantics); the type filter itself is
+    # exercised end-to-end
+    assert park.count() == 0
+    assert allb.count() >= admin.count()
+
+    # substring name search (F10)
+    found = get_boundaries(nodes, ways, rels, name="Testi")
+    assert {r[0] for r in found.select(F.col("tags")["name"]).collect()} \
+        == {"Testilä"}
+    none = get_boundaries(nodes, ways, rels, name="Nowhere")
+    assert none.count() == 0
+
+    # facade validation: unknown boundary_type rejected, case
+    # normalization accepted
+    api = OSM(spark, "/root/repo/data/synth")
+    with pytest.raises(ValueError):
+        api.get_boundaries(boundary_type="Incorrect_type")
+    assert api.get_boundaries(boundary_type=" Administrative ").count() \
+        == admin.count()
