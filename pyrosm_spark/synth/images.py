@@ -151,13 +151,22 @@ def ensure_images_table(out_path: str, n_rows: int = 2000, **kw) -> str:
 def generate_videos_table(out_path: str, n_rows: int = 50,
                           seed: int = 42) -> str:
     """Deterministic videos table (vid1 container): columns
-    (video_id, bytes, w, h, n_frames, fps, caption). Small by design —
-    video payloads exist to exercise the frame-sampling plumbing, not
-    to carry bench volume."""
-    from pyrosm_spark.functions.image_np import synth_video, vid_info
+    (video_id, bytes, w, h, n_frames, fps, frame_phashes, caption).
+    ``frame_phashes`` holds every DECODED frame's phash computed
+    generator-side — the independent reference the engine's
+    frame_sample value-checks against (the image table's phash
+    contract extended to the temporal axis). Small by design — video
+    payloads exercise the frame-sampling plumbing, not bench volume."""
+    from pyrosm_spark.functions.image_np import (
+        decode_vid_frame,
+        phash64,
+        synth_video,
+        vid_info,
+    )
 
     rng = np.random.default_rng(seed + 77)
     ids, blobs, ws, hs, nfs, fpss, caps = [], [], [], [], [], [], []
+    fphs = []
     for i in range(n_rows):
         w = int(rng.integers(8, 24))
         h = int(rng.integers(8, 24))
@@ -167,6 +176,8 @@ def generate_videos_table(out_path: str, n_rows: int = 50,
         assert vid_info(blob) == (nf, fps)
         ids.append(f"vid{i:06d}")
         blobs.append(blob)
+        fphs.append([phash64(decode_vid_frame(blob, j))
+                     for j in range(nf)])
         ws.append(w)
         hs.append(h)
         nfs.append(nf)
@@ -179,6 +190,7 @@ def generate_videos_table(out_path: str, n_rows: int = 50,
         "h": pa.array(hs, pa.int32()),
         "n_frames": pa.array(nfs, pa.int32()),
         "fps": pa.array(fpss, pa.int32()),
+        "frame_phashes": pa.array(fphs, pa.list_(pa.int64())),
         "caption": pa.array(caps, pa.string()),
     })
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
