@@ -154,3 +154,28 @@ def test_bucketed_nodes_join_skips_node_side_exchange(spark, synth_dir):
         assert bucketed_plan.count() == plain_plan.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS nodes_bucketed")
+
+
+def test_partitioned_write_prunes_partitions(spark, synth_dir, tmp_path):
+    """write_table(partition_by=...) produces a layout where an
+    equality filter on the partition key reaches the scan as a
+    PartitionFilter — the read plan touches only matching directories
+    (the claimed physical pruning, plan-asserted)."""
+    from pyspark.sql import functions as F
+
+    from pyrosm_spark.operators.spatial_join import assign_tiles
+    from pyrosm_spark.sources.table import read_table, write_table
+
+    images = spark.read.parquet(f"{synth_dir}/images.parquet")
+    tiled = assign_tiles(images.select("image_id", "lon", "lat"), 12) \
+        .withColumn("cell_prefix", F.pmod(F.xxhash64("cell"), F.lit(8)))
+    out = str(tmp_path / "tiled_parts")
+    write_table(tiled, out, partition_by=["cell_prefix"])
+
+    back = read_table(spark, out).filter(F.col("cell_prefix") == 3)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_prefix" in \
+        plan.split("PartitionFilters")[-1][:200]
+    # pruned read returns exactly the matching rows
+    exp = tiled.filter(F.col("cell_prefix") == 3).count()
+    assert back.count() == exp > 0
