@@ -661,6 +661,7 @@ def scc_components_distributed(
         nodes = (E.select(F.col("u").alias("node"))
                  .union(E.select(F.col("v").alias("node"))).distinct())
         color = nodes.withColumn("color", F.col("node")).localCheckpoint()
+        converged = False
         for _r in range(max_prop_rounds):
             upd = (
                 E.join(color.select(F.col("node").alias("u"),
@@ -684,7 +685,13 @@ def scc_components_distributed(
             )
             color = new_color
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                "forward coloring did not reach a fixpoint within "
+                f"max_prop_rounds={max_prop_rounds}; raise it (one "
+                "round covers one hop of the remaining diameter).")
         # --- 3. backward closure of each root inside its color class --
         Ec = (
             E.join(color.select(F.col("node").alias("u"),
@@ -697,6 +704,7 @@ def scc_components_distributed(
              .select("node", F.col("node").alias("comp"))
              .localCheckpoint())
         n_s = S.count()
+        bw_converged = False
         for _r in range(max_prop_rounds):
             grow = (
                 Ec.join(S.select(F.col("node").alias("v"), "comp"), "v")
@@ -707,14 +715,27 @@ def scc_components_distributed(
             n_new = new_s.count()
             S = new_s
             if n_new == n_s:
+                bw_converged = True
                 break
             n_s = n_new
+        if not bw_converged:
+            raise RuntimeError(
+                "backward extraction did not close within "
+                f"max_prop_rounds={max_prop_rounds}; raise it.")
         done = done.union(S)
         E = (E.join(S.select(F.col("node").alias("u")), "u", "left_anti")
              .join(S.select(F.col("node").alias("v")), "v", "left_anti")
              .localCheckpoint())
 
-    # safety: anything never reached within the bounds is a singleton
+    # bound exhaustion with edges remaining would mean unprocessed
+    # (possibly non-singleton) SCCs — refuse to mislabel silently
+    if E.limit(1).count() != 0:
+        raise RuntimeError(
+            "scc_components_distributed did not converge within "
+            f"max_outer={max_outer} / max_prop_rounds={max_prop_rounds};"
+            " raise the bounds (each coloring pass covers one graph "
+            "diameter).")
+    # nodes that only ever appeared as trimmed singletons' neighbors
     leftover = all_nodes.join(done.select("node"), "node", "left_anti")
     done = done.union(leftover.select(
         "node", F.col("node").alias("comp")))
