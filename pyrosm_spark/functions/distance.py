@@ -53,3 +53,38 @@ def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     return HAVERSINE_SQL.format(
         R=AVG_EARTH_RADIUS_M, lat1=lat1, lon1=lon1, lat2=lat2, lon2=lon2
     )
+
+
+class Unit:
+    """Supported output units (reference distance.py:5-35; conversion
+    factors from kilometers, same table)."""
+
+    KILOMETERS = "km"
+    METERS = "m"
+    MILES = "mi"
+    NAUTICAL_MILES = "nmi"
+    FEET = "ft"
+    INCHES = "in"
+
+
+_CONVERSIONS_FROM_KM = {
+    Unit.KILOMETERS: 1.0,
+    Unit.METERS: 1000.0,
+    Unit.MILES: 0.621371192,
+    Unit.NAUTICAL_MILES: 0.539956803,
+    Unit.FEET: 3280.839895013,
+    Unit.INCHES: 39370.078740158,
+}
+
+
+def haversine(lat1: Column, lon1: Column, lat2: Column, lon2: Column,
+              unit: str = Unit.KILOMETERS) -> Column:
+    """Unit-aware haversine Column (reference distance.py:38-74 —
+    same radius, same conversion table; values match its own
+    test_distance_calculation expectations)."""
+    if unit not in _CONVERSIONS_FROM_KM:
+        raise ValueError(
+            f"unknown unit {unit!r}; one of "
+            f"{sorted(_CONVERSIONS_FROM_KM)}")
+    km = haversine_m(lat1, lon1, lat2, lon2) / F.lit(1000.0)
+    return km * F.lit(_CONVERSIONS_FROM_KM[unit])

@@ -351,17 +351,37 @@ def polygonize_ring(ring: np.ndarray) -> list:
     return rings
 
 
-def fix_ring(ring: np.ndarray, diff_threshold: float = 20.0) -> list:
+def fix_ring(ring: np.ndarray, diff_threshold: float = 20.0,
+             max_rounds: int = 4) -> list:
     """G7 ladder for one closed ring: simple rings pass through; bowtie
     rings are polygonized, accepted under the reference's area-ratio
     sanity (abs(1 - A_orig/A_fixed) < diff_threshold, A_orig the NET
     shoelace area exactly as GEOS .area reports for an invalid bowtie,
     A_fixed the lobe-area sum); otherwise the original (still-invalid)
-    ring passes through unchanged (fix_geometry's final fallback)."""
+    ring passes through unchanged (fix_geometry's final fallback).
+
+    Noding is iterated: float-epsilon vertex clusters can leave a
+    residual crossing after one pass (the snap-rounding robustness
+    case GEOS handles with noding validation), so non-simple sub-rings
+    re-polygonize up to ``max_rounds`` times — in practice the
+    residual is a zero-area sliver that the area filter drops. A part
+    still non-simple after the rounds falls back to the original ring
+    (never a silently half-fixed output)."""
     if ring_is_simple(ring):
         return [ring]
     parts = [p for p in polygonize_ring(ring) if abs(signed_area(p)) > 0.0]
-    if not parts:
+    for _ in range(max_rounds):
+        if all(ring_is_simple(p) for p in parts):
+            break
+        nxt = []
+        for p in parts:
+            if ring_is_simple(p):
+                nxt.append(p)
+            else:
+                nxt.extend(q for q in polygonize_ring(p)
+                           if abs(signed_area(q)) > 0.0)
+        parts = nxt
+    if not parts or not all(ring_is_simple(p) for p in parts):
         return [ring]
     a_orig = abs(signed_area(ring))
     a_fix = sum(abs(signed_area(p)) for p in parts)

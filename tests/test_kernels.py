@@ -434,3 +434,41 @@ def test_regex_value_union_equals_literal_union(spark):
     lit = {r["id"] for r in df.filter(element_filter_column(
         F.col("tags"), {"highway": ["footway", "cycleway"]})).collect()}
     assert rx == lit and len(rx) == 3
+
+
+def test_haversine_units_reference_values(spark):
+    """Direct port of the reference's test_distance_calculation over
+    the Catalyst expression: Null Island -> (10, 10) in every unit."""
+    from pyspark.sql import functions as F
+
+    from pyrosm_spark.functions.distance import Unit, haversine
+
+    df = spark.createDataFrame([(0.0, 0.0, 10.0, 10.0)],
+                               ["lat1", "lon1", "lat2", "lon2"])
+
+    def val(unit):
+        return df.select(haversine(
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
+            unit=unit).alias("d")).collect()[0]["d"]
+
+    assert round(val(Unit.KILOMETERS), 5) == 1568.52272
+    assert round(val(Unit.METERS), 2) == 1568522.72
+    assert round(val(Unit.MILES), 6) == 974.634834
+    assert round(val(Unit.NAUTICAL_MILES), 5) == 846.93452
+    assert round(val(Unit.FEET), 0) == 5146072
+    assert round(val(Unit.INCHES), 0) == 61752863
+    with pytest.raises(ValueError, match="unknown unit"):
+        val("furlongs")
+
+
+def test_fix_ring_renodes_epsilon_vertex_cluster():
+    """Hypothesis-found regression: two vertices 2.2e-16 apart leave a
+    residual crossing after one noding pass; the iterated fix drops
+    the zero-area sliver and returns simple lobes."""
+    ring = np.array([[1.0, 1.0], [2.220446049250313e-16, 0.0],
+                     [0.0, 0.0], [3.0, 0.5], [2.0, 0.0], [1.0, 1.0]])
+    parts = G.fix_ring(ring)
+    assert not (len(parts) == 1 and np.array_equal(parts[0], ring))
+    for p in parts:
+        assert G.ring_is_simple(p)
+        assert abs(G.signed_area(p)) > 0

@@ -220,8 +220,14 @@ def test_polygonize_preserves_even_odd_parity(pts):
                                     allow_nan=False)),
                 min_size=4, max_size=8, unique=True))
 @settings(deadline=None, max_examples=60)
-def test_polygonize_outputs_are_simple(pts):
+def test_fix_ring_outputs_are_simple_or_original(pts):
+    """The ladder's contract: fix_ring either returns simple sub-rings
+    (iterated noding — float-epsilon vertex clusters can need a second
+    pass) or falls back to the ORIGINAL ring unchanged; never a
+    half-fixed non-simple output."""
     ring = np.array(list(pts) + [list(pts[0])], dtype=np.float64)
-    for p in G.polygonize_ring(ring):
-        if abs(G.signed_area(p)) > 1e-12:
-            assert G.ring_is_simple(p)
+    parts = G.fix_ring(ring)
+    if len(parts) == 1 and np.array_equal(parts[0], ring):
+        return  # passthrough (simple input, or honest give-up)
+    for p in parts:
+        assert G.ring_is_simple(p)
