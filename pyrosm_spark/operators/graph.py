@@ -259,14 +259,26 @@ def simplify_directed_chains(
             for to, i in out_adj.get(ep, []):
                 if not used[i]:
                     walk(ep, to, i)
-        # endpoint-free rings (every node a clean pass-through)
+        # endpoint-free rings (every node a clean pass-through) — the
+        # walk starts at the MINIMUM node over all remaining unused
+        # segments (deterministic regardless of partition row order;
+        # the per-first-unused-row start of round 1 leaked pdf order
+        # into the emitted u/v labels)
         while not used.all():
-            i = int(np.nonzero(~used)[0][0])
-            start = min(r for r in (pdf["su"].iloc[i], pdf["sv"].iloc[i]))
-            cands = [(x, j) for x, j in out_adj.get(start, []) if not used[j]]
-            if not cands:
-                used[i] = True  # degenerate: unreachable directed stub
+            rem = np.nonzero(~used)[0]
+            rem_nodes = sorted(
+                {pdf["su"].iloc[int(j)] for j in rem}
+                | {pdf["sv"].iloc[int(j)] for j in rem})
+            start = None
+            for cand_start in rem_nodes:
+                if any(not used[j]
+                       for _x, j in out_adj.get(cand_start, [])):
+                    start = cand_start
+                    break
+            if start is None:
+                used[rem] = True  # degenerate: unreachable directed stubs
                 continue
+            cands = [(x, j) for x, j in out_adj.get(start, []) if not used[j]]
             x, j = cands[0]
             order = [j]
             used[j] = True

@@ -484,3 +484,30 @@ def test_distributed_scc_equals_tarjan_random(spark):
             for _ in range(90)]
     tarjan, dist = _scc_maps(spark, rows)
     assert dist == tarjan
+
+
+def test_directed_ring_walk_start_is_order_invariant(spark):
+    """Endpoint-free directed rings must emit the same (u, v) labels
+    regardless of input row order — the walk starts at the ring's
+    minimum node, not at whatever segment arrived first."""
+    import random
+
+    from pyrosm_spark.operators.graph import simplify_directed_chains
+
+    # a pure one-way 5-cycle (every node a clean pass-through)
+    base = [(i, (17 + 3 * k) % 5 + 30, (17 + 3 * (k + 1)) % 5 + 30, 1.0)
+            for i, k in enumerate(range(5))]
+    outs = []
+    for seed in (1, 2, 3):
+        rows = base[:]
+        random.Random(seed).shuffle(rows)
+        df = spark.createDataFrame(rows, "id long, u long, v long, "
+                                         "length double")
+        out = sorted(
+            (r["u"], r["v"], r["length"], r["n_segments"],
+             tuple(sorted(r["way_ids"])))
+            for r in simplify_directed_chains(df).collect())
+        outs.append(out)
+    assert outs[0] == outs[1] == outs[2]
+    # the single ring chain starts/ends at the minimum ring node
+    assert outs[0][0][0] == 30 and outs[0][0][1] == 30
