@@ -167,3 +167,39 @@ def test_custom_criteria_osm_keys_and_columns(osm):
     with _pt.raises(ValueError):
         osm.get_data_by_custom_criteria({"highway": True},
                                         osm_keys_to_keep=42)
+
+
+def test_custom_criteria_element_toggles_and_superset(osm):
+    """Reference test_custom_filter ports: keep_nodes-only toggle,
+    keep-all superset of any single-key read, and the two-level filter
+    (osm_keys gate AND value filter both non-null on every row)."""
+    only_nodes = osm.get_data_by_custom_criteria(
+        {"amenity": True}, keep_ways=False, keep_relations=False)
+    kinds = {r["osm_type"] for r in
+             only_nodes.select("osm_type").distinct().collect()}
+    assert kinds == {"node"}
+
+    everything = {(r["osm_type"], r["id"]) for r in
+                  osm.get_data_by_custom_criteria()
+                  .select("osm_type", "id").collect()}
+    single = {(r["osm_type"], r["id"]) for r in
+              osm.get_data_by_custom_criteria({"building": True})
+              .select("osm_type", "id").collect()}
+    assert single <= everything and len(single) > 0
+
+    # two-level: amenity value filter gated on the building key —
+    # every surviving element carries BOTH keys
+    two = osm.get_data_by_custom_criteria(
+        custom_filter={"amenity": True},
+        osm_keys_to_keep=["building"])
+    assert two.filter(F.col("tags")["building"].isNull()).count() == 0
+    assert two.filter(F.col("tags")["amenity"].isNull()).count() == 0
+
+
+def test_custom_filter_key_outside_defaults_becomes_column(osm):
+    """A filter key with no default_tags candidate list falls back to
+    the key itself as the presentation column (pyrosm.py:1166-1171)."""
+    out = osm.get_data_by_custom_criteria(
+        {"maxspeed": True}, keep_nodes=False, keep_relations=False)
+    assert "maxspeed" in out.columns
+    assert out.count() > 0
