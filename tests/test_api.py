@@ -203,3 +203,24 @@ def test_custom_filter_key_outside_defaults_becomes_column(osm):
         {"maxspeed": True}, keep_nodes=False, keep_relations=False)
     assert "maxspeed" in out.columns
     assert out.count() > 0
+
+
+def test_network_error_and_empty_area_semantics(spark, synth_dir, osm):
+    """Reference test_network_parsing ports: unknown network_type
+    raises; a bbox over an empty area yields an EMPTY frame (not an
+    error); bbox + nodes=True keeps every edge endpoint (J9) even when
+    it falls outside the box."""
+    with pytest.raises(ValueError, match="network_type"):
+        osm.get_network("flying")
+
+    empty_box = OSM(spark, synth_dir,
+                    bounding_box=[0.0, 0.0, 0.01, 0.01])
+    assert empty_box.get_network("driving").count() == 0
+
+    from pyrosm_spark.synth.osm import TEST_BBOX
+    boxed = OSM(spark, synth_dir, bounding_box=list(TEST_BBOX))
+    nodes_df, edges = boxed.get_network("driving", nodes=True)
+    uv = {r["u"] for r in edges.select("u").collect()} | \
+         {r["v"] for r in edges.select("v").collect()}
+    ids = {r["id"] for r in nodes_df.select("id").collect()}
+    assert uv <= ids and len(uv) > 0
