@@ -149,6 +149,7 @@ def simplify_directed_chains(
     edge_attr_cols: tuple = (),
     node_include: DataFrame | None = None,
     geometry_col: str | None = None,
+    remove_rings: bool = False,
 ) -> DataFrame:
     """X2 full form — directed chain collapse with OSMnx endpoint rules
     (graph_simplify.py:239-432): endpoints from ``endpoint_nodes``
@@ -159,6 +160,12 @@ def simplify_directed_chains(
     two directed chains. Endpoint-free rings walk from their minimum
     node. Returns one row per chain: (u, v, length, n_segments,
     way_ids) — parity shape of the reference's simplified edge list.
+
+    ``remove_rings=True`` drops endpoint-free ring chains entirely —
+    the reference's ``simplify_graph(remove_rings=...)`` switch
+    (graph_simplify.py:249; OSMnx drops isolated rings by default,
+    this engine defaults to keeping them so chain output row counts
+    stay stable for the oracle gate).
 
     ``geometry_col`` (WKB linestrings per segment) turns on W5 geometry
     stitching (graph_simplify.py:172-236): segment coordinates are
@@ -264,7 +271,7 @@ def simplify_directed_chains(
         # segments (deterministic regardless of partition row order;
         # the per-first-unused-row start of round 1 leaked pdf order
         # into the emitted u/v labels)
-        while not used.all():
+        while not remove_rings and not used.all():
             rem = np.nonzero(~used)[0]
             rem_nodes = sorted(
                 {pdf["su"].iloc[int(j)] for j in rem}

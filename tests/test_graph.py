@@ -511,3 +511,54 @@ def test_directed_ring_walk_start_is_order_invariant(spark):
     assert outs[0] == outs[1] == outs[2]
     # the single ring chain starts/ends at the minimum ring node
     assert outs[0][0][0] == 30 and outs[0][0][1] == 30
+
+
+def test_parallel_edges_stay_separate(spark):
+    """Reference graph_simplify: two distinct parallel edges between
+    the same endpoint pair must not merge — all 4 directed rows
+    survive as single-segment chains."""
+    from pyrosm_spark.operators.graph import simplify_directed_chains
+
+    rows = [(10, 1, 2, 1.0), (11, 2, 1, 1.0),
+            (20, 1, 2, 1.6), (21, 2, 1, 1.6)]
+    df = spark.createDataFrame(rows, "id long, u long, v long, "
+                                     "length double")
+    out = simplify_directed_chains(df).collect()
+    assert len(out) == 4
+    assert all(r["n_segments"] == 1 for r in out)
+    assert sorted(tuple(r["way_ids"]) for r in out) == \
+        [(10,), (11,), (20,), (21,)]
+
+
+def test_oneway_loop_back_to_endpoint(spark):
+    """A one-way path looping back to its origin endpoint collapses to
+    ONE self-loop chain in walk order; the dead-end feeder edge
+    survives separately (reference graph_simplify:252-276)."""
+    from pyrosm_spark.operators.graph import simplify_directed_chains
+
+    rows = [(40, 4, 1, 1.0), (12, 1, 2, 1.0),
+            (23, 2, 3, 1.0), (31, 3, 1, 1.0)]
+    df = spark.createDataFrame(rows, "id long, u long, v long, "
+                                     "length double")
+    out = sorted((r["u"], r["v"], r["n_segments"],
+                  tuple(sorted(r["way_ids"])))
+                 for r in simplify_directed_chains(df).collect())
+    assert (1, 1, 3, (12, 23, 31)) in out  # the collapsed loop
+    assert (4, 1, 1, (40,)) in out         # the feeder, untouched
+    assert len(out) == 2
+
+
+def test_remove_rings_flag(spark):
+    """A pure one-way ring (every node pass-through) is dropped with
+    remove_rings=True and collapses to one ring chain otherwise
+    (reference simplify_graph remove_rings switch)."""
+    from pyrosm_spark.operators.graph import simplify_directed_chains
+
+    rows = [(1, 1, 2, 1.0), (2, 2, 3, 1.0), (3, 3, 1, 1.0)]
+    df = spark.createDataFrame(rows, "id long, u long, v long, "
+                                     "length double")
+    kept = simplify_directed_chains(df).collect()
+    assert len(kept) == 1 and kept[0]["u"] == kept[0]["v"] == 1
+    assert kept[0]["n_segments"] == 3
+    dropped = simplify_directed_chains(df, remove_rings=True).collect()
+    assert dropped == []
