@@ -9,9 +9,10 @@ SCC X3). Spark shapes:
 * weakly-connected components — iterative small-star label propagation
   (driver loop over DataFrame ops; converges in O(log n) rounds)
 * largest SCC — hybrid: distributed weak-CC partitioning first, then
-  exact Tarjan per weak component inside ``applyInPandas`` (the
-  pragmatic v1 mapping SURVEY.md §7 calls for; a planet-spanning
-  component would need iterative distributed SCC — documented limit)
+  exact Tarjan per weak component inside ``applyInPandas`` (fastest
+  when components fit a task); ``scc_components_distributed`` is the
+  no-limit scale path (trim + forward-max-coloring + backward
+  extraction, pure DataFrame ops, differential-tested against Tarjan)
 * simplification — endpoint detection as aggregations, chain collapse
   per weak component in ``applyInPandas`` (the walk is inherently
   sequential per chain, W4)
