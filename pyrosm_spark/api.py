@@ -135,6 +135,7 @@ class OSM:
         n, w, r = self._src(timestamp)
         return L.get_buildings(
             n, w, r, custom_filter, bbox=self.bounding_box,
+            keep_metadata=self.keep_metadata,
             tag_cols=self._tag_cols("BUILDING_TAG_COLS", tags_to_keep,
                                     extra_attributes),
             complete_relations=self.complete_relations)
@@ -144,6 +145,7 @@ class OSM:
         n, w, r = self._src(timestamp)
         return L.get_pois(
             n, w, r, custom_filter, bbox=self.bounding_box,
+            keep_metadata=self.keep_metadata,
             tag_cols=self._tag_cols("POI_TAG_COLS", tags_to_keep,
                                     extra_attributes),
             complete_relations=self.complete_relations)
@@ -153,6 +155,7 @@ class OSM:
         n, w, r = self._src(timestamp)
         return L.get_landuse(
             n, w, r, custom_filter, bbox=self.bounding_box,
+            keep_metadata=self.keep_metadata,
             tag_cols=self._tag_cols("LANDUSE_TAG_COLS", tags_to_keep,
                                     extra_attributes),
             complete_relations=self.complete_relations)
@@ -162,6 +165,7 @@ class OSM:
         n, w, r = self._src(timestamp)
         return L.get_natural(
             n, w, r, custom_filter, bbox=self.bounding_box,
+            keep_metadata=self.keep_metadata,
             tag_cols=self._tag_cols("NATURAL_TAG_COLS", tags_to_keep,
                                     extra_attributes),
             complete_relations=self.complete_relations)
@@ -176,6 +180,7 @@ class OSM:
         n, w, r = self._src(timestamp)
         return L.get_boundaries(
             n, w, r, boundary_type=boundary_type, name=name,
+            keep_metadata=self.keep_metadata,
             custom_filter=custom_filter, bbox=self.bounding_box,
             tag_cols=self._tag_cols("BOUNDARY_TAG_COLS", tags_to_keep,
                                     extra_attributes))
@@ -255,6 +260,7 @@ class OSM:
             complete_relations=self.complete_relations,
             tag_cols=tags_as_columns,
             osm_keys=osm_keys_to_keep,
+            keep_metadata=self.keep_metadata,
         )
         if not keep_ways:
             from pyspark.sql import functions as F

@@ -66,17 +66,25 @@ def get_layer(
     complete_relations: bool = False,
     tag_cols=(),
     osm_keys=None,
+    keep_metadata: bool = True,
 ) -> DataFrame:
     """Generic layer query (get_data_by_custom_criteria equivalent,
     pyrosm.py:1027-1185). Returns a unioned feature DataFrame with
     ``osm_type`` in {node, way, relation}, WKB ``geometry``, the tags
     map, and presentation tag columns. ``osm_keys`` is the reference's
     ``osm_keys_to_keep`` candidate gate: an element must carry at least
-    one of these keys regardless of the value filter."""
+    one of these keys regardless of the value filter.
+
+    ``keep_metadata`` (reference default True — its golden frames carry
+    ``version``/``timestamp``/``changeset``): False drops the element
+    metadata columns, True keeps them on every part (``visible`` is
+    dropped either way: post-filter it is identically true)."""
     pred = element_filter_column(
         F.col("tags"), custom_filter, osm_keys=osm_keys,
         filter_type=filter_type, keep_all=keep_all,
     )
+    meta_drop = (["visible"] if keep_metadata
+                 else ["version", "changeset", "timestamp", "visible"])
 
     kept_ways = ways.filter(pred)
     parts = []
@@ -98,8 +106,7 @@ def get_layer(
         rel_feats = assemble_relations(
             kept_rels, ways, nodes, member_way_restriction=restriction
         )
-        parts.append(rel_feats.drop("version", "changeset", "timestamp",
-                                    "visible"))
+        parts.append(rel_feats.drop(*meta_drop))
 
     # --- standalone ways -------------------------------------------------
     if bbox is not None:
@@ -120,8 +127,7 @@ def get_layer(
     way_feats = (
         w.filter(F.col("geometry").isNotNull())
         .withColumn("osm_type", F.lit("way"))
-        .drop(geom.PTS_FIELD, "refs", "_poly", "version", "changeset",
-              "timestamp", "visible")
+        .drop(geom.PTS_FIELD, "refs", "_poly", *meta_drop)
     )
     parts.append(way_feats)
 
@@ -141,7 +147,7 @@ def get_layer(
                 geom.point_geometry_wkb(F.col("lon"), F.col("lat")),
             )
             .withColumn("osm_type", F.lit("node"))
-            .drop("version", "changeset", "timestamp", "visible")
+            .drop(*meta_drop)
         )
         parts.append(node_feats)
 

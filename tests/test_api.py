@@ -224,3 +224,17 @@ def test_network_error_and_empty_area_semantics(spark, synth_dir, osm):
          {r["v"] for r in edges.select("v").collect()}
     ids = {r["id"] for r in nodes_df.select("id").collect()}
     assert uv <= ids and len(uv) > 0
+
+
+def test_keep_metadata_toggle(spark, synth_dir):
+    """Reference keep_metadata semantics: True (default) keeps
+    version/timestamp on layer frames (its buildings golden expects
+    them); False drops all element metadata columns."""
+    with_meta = OSM(spark, synth_dir).get_buildings()
+    assert {"version", "timestamp"} <= set(with_meta.columns)
+    without = OSM(spark, synth_dir,
+                  keep_metadata=False).get_buildings()
+    assert not ({"version", "changeset", "timestamp", "visible"}
+                & set(without.columns))
+    # presentation/filtering unaffected
+    assert with_meta.count() == without.count()

@@ -295,7 +295,7 @@ def test_layer_materializes_only_occurring_candidates(spark, osm):
     nodes, ways, rels = osm
     b = get_buildings(nodes, ways, rels)
     base = {"id", "tags", "geometry", "osm_type", "lon", "lat",
-            "members"}
+            "members", "version", "changeset", "timestamp"}
     tag_cols = [c for c in b.columns if c not in base]
     for c in tag_cols:
         assert c in BUILDING_TAG_COLS, c
