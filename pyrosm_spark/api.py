@@ -298,3 +298,49 @@ class OSM:
         if graph_type == "igraph":
             return to_igraph(nodes, edges, **kw)
         return to_pandana(nodes, edges, **kw)
+
+
+class _Tags:
+    """``osm.conf.tags`` — the reference's per-key candidate-column
+    registry (config/__init__.py:36-90) over operators/default_tags."""
+
+    def __init__(self):
+        from pyrosm_spark.operators.default_tags import (
+            BASIC_INFO_TAGS,
+            TAG_COLUMNS,
+        )
+
+        self.available = sorted(TAG_COLUMNS)
+        self._basic_tags = list(BASIC_INFO_TAGS)
+        for k, cols in TAG_COLUMNS.items():
+            setattr(self, k, list(cols))
+
+
+class _NetworkFilters:
+    """``osm.conf.network_filters`` (config/__init__.py:29-33)."""
+
+    def __init__(self):
+        from pyrosm_spark.operators.presets import network_filter
+
+        self.driving = network_filter("driving")
+        self.driving_psv = network_filter("driving+psv")
+        self.walking = network_filter("walking")
+        self.cycling = network_filter("cycling")
+
+
+class Conf:
+    """``osm.conf`` — the reference's configuration surface
+    (config/__init__.py:94-103): candidate tag lists, network filter
+    dicts, oneway values. Read-only views onto the presets the engine
+    actually uses, so what a user inspects IS what executes."""
+
+    def __init__(self):
+        from pyrosm_spark.operators.presets import ONEWAY_VALUES
+
+        self.tags = _Tags()
+        self.network_filters = _NetworkFilters()
+        self.oneway_values = list(ONEWAY_VALUES)
+
+
+# attach the shared conf to the facade (reference: self.conf = Conf)
+OSM.conf = Conf()

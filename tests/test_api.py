@@ -238,3 +238,23 @@ def test_keep_metadata_toggle(spark, synth_dir):
                 & set(without.columns))
     # presentation/filtering unaffected
     assert with_meta.count() == without.count()
+
+
+def test_conf_surface_matches_engine_presets(osm):
+    """osm.conf mirrors the reference's Conf: per-key tag lists,
+    network filter dicts and oneway values are views onto the presets
+    the engine executes with."""
+    from pyrosm_spark.operators.default_tags import TAG_COLUMNS
+    from pyrosm_spark.operators.presets import (
+        ONEWAY_VALUES,
+        network_filter,
+    )
+
+    conf = osm.conf
+    assert conf.tags.available == sorted(TAG_COLUMNS)
+    assert conf.tags.building == TAG_COLUMNS["building"]
+    assert "addr:city" in conf.tags.highway or \
+        "highway" in conf.tags.highway
+    assert conf.network_filters.driving == network_filter("driving")
+    assert conf.network_filters.cycling == network_filter("cycling")
+    assert conf.oneway_values == list(ONEWAY_VALUES)
