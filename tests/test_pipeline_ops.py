@@ -376,3 +376,30 @@ def test_lsh_cosine_pairs_subset_of_exact(spark, emb):
     assert set(lsh) <= set(exact)
     for k, v in lsh.items():
         assert v == exact[k]
+
+
+def test_oracle_gate_detects_value_and_row_divergence(spark, docs, duck):
+    """Sensitivity check on the correctness harness itself: a
+    deliberately perturbed engine result must FAIL the oracle compare
+    (guards against vacuously-green oracles)."""
+    good = D.exact_dedup(docs)
+    rows, cols = run_oracle(duck, D.exact_dedup_sql("documents"))
+    compare(good, rows, cols)  # baseline sanity
+
+    # value perturbation: flip one boolean column
+    bad_vals = good.withColumn(
+        "is_duplicate",
+        F.when(F.col("doc_id") == "0", ~F.col("is_duplicate"))
+        .otherwise(F.col("is_duplicate")))
+    with pytest.raises(AssertionError):
+        compare(bad_vals, rows, cols)
+
+    # row perturbation: drop one row
+    bad_rows = good.filter(F.col("doc_id") != "0")
+    with pytest.raises(AssertionError):
+        compare(bad_rows, rows, cols)
+
+    # schema perturbation: renamed column
+    bad_schema = good.withColumnRenamed("canonical_id", "canon")
+    with pytest.raises(AssertionError):
+        compare(bad_schema, rows, cols)
