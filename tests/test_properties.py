@@ -231,3 +231,56 @@ def test_fix_ring_outputs_are_simple_or_original(pts):
         return  # passthrough (simple input, or honest give-up)
     for p in parts:
         assert G.ring_is_simple(p)
+
+
+@given(st.integers(min_value=4, max_value=24),
+       st.integers(min_value=2, max_value=5),
+       st.integers(min_value=0, max_value=1000))
+@settings(deadline=None, max_examples=60)
+def test_line_merge_reassembles_split_ring(n, k, seed):
+    """Splitting a simple ring into k contiguous open pieces and
+    line_merging them back yields ONE closed ring carrying the same
+    vertex set — the multipolygon-assembly precondition for split
+    member ways."""
+    rng = np.random.default_rng(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    ring = np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    closed = np.vstack([ring, ring[:1]])
+    k = min(k, n - 1)
+    cuts = sorted(rng.choice(np.arange(1, n), size=k - 1, replace=False)) \
+        if k > 1 else []
+    pieces = []
+    prev = 0
+    for c in list(cuts) + [n]:
+        pieces.append(closed[prev:c + 1])
+        prev = c
+    merged = G.line_merge(pieces)
+    assert len(merged) == 1
+    m = merged[0]
+    assert G.is_closed_ring(m)
+    assert {tuple(p) for p in m} == {tuple(p) for p in closed}
+
+
+@given(st.integers(min_value=1, max_value=4),
+       st.integers(min_value=0, max_value=99))
+@settings(deadline=None, max_examples=40)
+def test_wkb_multipolygon_roundtrip(n_polys, seed):
+    rng = np.random.default_rng(seed)
+    polys = []
+    for i in range(n_polys):
+        cx, cy = rng.uniform(-50, 50, 2)
+        shell = np.array([[cx - 1, cy - 1], [cx + 1, cy - 1],
+                          [cx + 1, cy + 1], [cx - 1, cy + 1],
+                          [cx - 1, cy - 1]])
+        rings = [shell]
+        if i % 2 == 0:
+            hole = shell * 0.5 + np.array([cx, cy]) * 0.5
+            rings.append(hole[::-1])
+        polys.append(rings)
+    buf = G.wkb_multipolygon(polys)
+    t, parsed = G.parse_wkb(buf)
+    assert t == G.WKB_MULTIPOLYGON and len(parsed) == n_polys
+    for orig, back in zip(polys, parsed):
+        assert len(orig) == len(back)
+        for r0, r1 in zip(orig, back):
+            assert np.allclose(r0, r1)
