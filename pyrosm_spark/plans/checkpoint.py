@@ -23,6 +23,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -132,11 +133,13 @@ class CheckpointManager:
             self.skipped.append(name)
             return self.spark.read.parquet(out_dir)
 
-        # stale/partial attempt -> clear (atomicity: build in tmp, rename)
-        tmp = out_dir + ".tmp"
-        for d in (out_dir, tmp):
-            if os.path.exists(d):
-                shutil.rmtree(d)
+        # stale/partial attempt -> clear; build under a PER-ATTEMPT tmp
+        # (pid+uuid) so two concurrent builders of the same key never
+        # write into each other's staging dir — last rename wins, both
+        # publish identical content (the key pins inputs+params)
+        tmp = f"{out_dir}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
 
         t0 = time.time()
         df = fn()
@@ -157,7 +160,13 @@ class CheckpointManager:
         }
         with open(os.path.join(tmp, MANIFEST), "w") as f:
             json.dump(manifest, f, indent=2)
-        os.rename(tmp, out_dir)  # atomic publish (cache.py:121-141)
+        try:
+            os.rename(tmp, out_dir)  # atomic publish (cache.py:121-141)
+        except OSError:
+            # another attempt published first; both carry the same key
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not self._valid(out_dir, key):
+                raise
         self.executed.append(name)
         return self.spark.read.parquet(out_dir)
 
