@@ -686,3 +686,64 @@ def phash_pairs_sql(images_path: str, max_hamming: int = 6) -> str:
           ON a.band = b.band AND a.key = b.key AND a.img < b.img
         WHERE bit_count(xor(a.ph, b.ph)) <= {max_hamming}
     """
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """The dedup pipeline's FINAL step (Lee et al. 2022 keep-one-per-
+    cluster): candidate pairs (from MinHash-LSH / SimHash / phash /
+    embedding banding) become connected components, every document maps
+    to its cluster's canonical (minimum) id, and ``is_duplicate`` marks
+    the rows a training run drops. Components run distributed
+    (operators.graph.connected_components — contraction with the
+    recursion guard), so a planet-scale near-dup graph never touches
+    the driver. Passing ``docs`` includes the non-paired documents as
+    their own singletons (the usual 'full table out' contract)."""
+    from pyrosm_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, a_col, b_col)
+    out = comp.select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("canonical_id"),
+        (F.col("node") != F.col("comp")).alias("is_duplicate"),
+    )
+    if docs is not None:
+        singles = (
+            docs.select(F.col(id_col))
+            .join(out.select(id_col), id_col, "left_anti")
+            .select(
+                id_col,
+                F.col(id_col).alias("canonical_id"),
+                F.lit(False).alias("is_duplicate"),
+            )
+        )
+        out = out.unionByName(singles)
+    return out
+
+
+def near_dup_clusters_sql(table: str = "documents") -> str:
+    """DuckDB mirror: recursive min-label closure over the MinHash-LSH
+    pair set (the same oracle pattern as largest_weak_component)."""
+    pairs = minhash_lsh_pairs_sql(table)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}),
+        und AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node
+        ),
+        comp AS (SELECT node, min(label) AS canon FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               coalesce(c.canon, d.doc_id) AS canonical_id,
+               coalesce(c.canon, d.doc_id) != d.doc_id AS is_duplicate
+        FROM {table} d LEFT JOIN comp c ON c.node = d.doc_id
+    """

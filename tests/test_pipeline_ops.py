@@ -403,3 +403,22 @@ def test_oracle_gate_detects_value_and_row_divergence(spark, docs, duck):
     bad_schema = good.withColumnRenamed("canonical_id", "canon")
     with pytest.raises(AssertionError):
         compare(bad_schema, rows, cols)
+
+
+def test_near_dup_clusters_vs_oracle(spark, docs, duck):
+    from pyrosm_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+        near_dup_clusters_sql,
+    )
+
+    got = near_dup_clusters(minhash_lsh_pairs(docs), docs=docs)
+    rows, cols = run_oracle(duck, near_dup_clusters_sql("documents"))
+    compare(got, rows, cols)
+    # cluster invariants: canonical ids are cluster minima and
+    # themselves non-duplicates
+    data = {r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+            for r in got.collect()}
+    for doc, (canon, is_dup) in data.items():
+        assert canon <= doc
+        assert data[canon][0] == canon and not data[canon][1]
