@@ -13,9 +13,11 @@ SCC X3). Spark shapes:
   when components fit a task); ``scc_components_distributed`` is the
   no-limit scale path (trim + forward-max-coloring + backward
   extraction, pure DataFrame ops, differential-tested against Tarjan)
-* simplification — endpoint detection as aggregations, chain collapse
-  per weak component in ``applyInPandas`` (the walk is inherently
-  sequential per chain, W4)
+* simplification — endpoint detection as aggregations, chain labeling
+  as connected components over interior-node segment links, chain
+  collapse per CHAIN in ``applyInPandas`` (the walk is inherently
+  sequential per chain, W4, and each task is bounded by the longest
+  chain — not the weak component)
 """
 
 from __future__ import annotations
@@ -154,8 +156,11 @@ def simplify_directed_chains(
 ) -> DataFrame:
     """X2 full form — directed chain collapse with OSMnx endpoint rules
     (graph_simplify.py:239-432): endpoints from ``endpoint_nodes``
-    (pure SQL, distributed), then per-weak-component directed walks in
-    ``applyInPandas``. Each directed chain starts at an endpoint's
+    (pure SQL, distributed), chains labeled by ``label_chains`` (CC
+    over interior-node segment links), then per-CHAIN directed walks in
+    ``applyInPandas`` — each Arrow task is bounded by the longest
+    chain, not the weak component. Each directed chain starts at an
+    endpoint's
     out-edge and consumes successor out-edges through pass-through
     nodes (preferring not to U-turn), so two-way streets collapse into
     two directed chains. Endpoint-free rings walk from their minimum
@@ -177,6 +182,22 @@ def simplify_directed_chains(
     the reference's reversal bookkeeping.
     """
     eps = endpoint_nodes(edges, u_col, v_col, edge_attr_cols, node_include)
+    return _simplify_from_endpoints(
+        edges, eps, u_col, v_col, length_col, way_col,
+        edge_attr_cols, geometry_col, remove_rings)
+
+
+def _simplify_from_endpoints(
+    edges: DataFrame,
+    eps: DataFrame,
+    u_col: str,
+    v_col: str,
+    length_col: str,
+    way_col: str,
+    edge_attr_cols: tuple,
+    geometry_col: str | None,
+    remove_rings: bool,
+) -> DataFrame:
     ep_only = eps.filter("is_endpoint").select(
         F.col("node").alias("_ep"), F.lit(True).alias("_is_ep"))
 
@@ -199,9 +220,7 @@ def simplify_directed_chains(
            .withColumnRenamed("_is_ep", "v_ep")
            .fillna(False, subset=["u_ep", "v_ep"]))
 
-    weak = connected_components(seg, "su", "sv")
-    seg = seg.join(weak.withColumnRenamed("node", "su"), "su") \
-        .withColumnRenamed("comp", "wcomp")
+    seg = label_chains(seg)
 
     with_geom = geometry_col is not None
 
@@ -313,7 +332,53 @@ def simplify_directed_chains(
         schema += f", {c}_values array<string>"
     if with_geom:
         schema += ", geometry binary"
-    return seg.groupBy("wcomp").applyInPandas(per_component, schema=schema)
+    return seg.groupBy("chain_id").applyInPandas(per_component, schema=schema)
+
+
+def label_chains(seg: DataFrame) -> DataFrame:
+    """Assign every segment a ``chain_id`` such that segments of the
+    same collapsible chain (and only those) share an id.
+
+    Two segments belong to one chain exactly when they are connected
+    through INTERIOR (non-endpoint) nodes, so the chain components are
+    the connected components of the segment-link graph restricted to
+    interior incidences. Grouping the walk by ``chain_id`` bounds each
+    Arrow task by the longest chain — not by the weak component, which
+    for a country-scale road network is the whole graph (the round-2
+    Amdahl wall: one task held everything).
+
+    ``seg`` must carry ``su``/``sv`` (segment endpoints) and
+    ``u_ep``/``v_ep`` (precomputed endpoint flags). Star-links each
+    interior node's incident segments to the minimum incident
+    ``seg_id`` (incidence per pass-through node is ≤4, so no quadratic
+    pair blowup), then labels with ``connected_components`` — whose
+    contraction converges fast here because chain diameters are short.
+    Isolated segments (both ends endpoints) keep their own ``seg_id``;
+    label namespaces cannot collide because component labels ARE
+    minimum member ``seg_id``s.
+    """
+    seg = seg.withColumn(
+        "seg_id", F.monotonically_increasing_id()).localCheckpoint()
+    incid = (
+        seg.filter(~F.col("u_ep"))
+        .select("seg_id", F.col("su").alias("node"))
+        .unionAll(seg.filter(~F.col("v_ep"))
+                  .select("seg_id", F.col("sv").alias("node")))
+    )
+    links = (
+        incid.groupBy("node")
+        .agg(F.min("seg_id").alias("sa"),
+             F.collect_set("seg_id").alias("sids"))
+        .select("sa", F.explode("sids").alias("sb"))
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    lab = connected_components(links, "sa", "sb")
+    return (
+        seg.join(lab.withColumnRenamed("node", "seg_id")
+                 .withColumnRenamed("comp", "chain_id"),
+                 "seg_id", "left")
+        .withColumn("chain_id", F.coalesce("chain_id", F.col("seg_id")))
+    )
 
 
 def connected_components(edges: DataFrame, u_col: str = "u",
@@ -444,18 +509,27 @@ def largest_component_edges(edges: DataFrame, u_col: str = "u",
 
 
 def scc_components(edges: DataFrame, u_col: str = "u",
-                   v_col: str = "v") -> DataFrame:
-    """Strongly-connected components, hybrid: weak-CC split first (no
-    SCC crosses a weak component), then exact iterative Tarjan per weak
-    component in applyInPandas. Documented limit: one weak component
-    must fit in one task's memory (true for everything except a
-    planet-scale road network, which would need distributed SCC)."""
+                   v_col: str = "v",
+                   max_task_edges: int = 2_000_000) -> DataFrame:
+    """Strongly-connected components, auto-dispatching hybrid: weak-CC
+    split first (no SCC crosses a weak component), then exact iterative
+    Tarjan per weak component in applyInPandas — fastest when every
+    weak component fits one task. If ANY weak component holds more
+    than ``max_task_edges`` edges (a planet-scale road network is one
+    weak component), the function dispatches to
+    ``scc_components_distributed`` instead, which has no single-task
+    limit; the two are differential-tested label-identical, so the
+    dispatch is invisible to callers."""
     weak = connected_components(edges, u_col, v_col)
     e = (
         edges.select(F.col(u_col).alias("eu"), F.col(v_col).alias("ev"))
         .join(weak.withColumnRenamed("node", "eu"), "eu")
         .withColumnRenamed("comp", "wcomp")
     )
+    biggest = (e.groupBy("wcomp").count()
+               .agg(F.max("count").alias("mx")).first()["mx"])
+    if biggest is not None and biggest > max_task_edges:
+        return scc_components_distributed(edges, u_col, v_col)
 
     def per_component(pdf: pd.DataFrame) -> pd.DataFrame:
         # iterative Tarjan (the reference's nonrecursive formulation,
@@ -533,17 +607,40 @@ def simplify_chains(edges: DataFrame, u_col: str = "u", v_col: str = "v",
 
     Endpoint rules (graph_simplify.py:60-97 subset): a node is an
     endpoint when its undirected distinct-neighbor degree != 2, or it
-    has a self-loop. The per-chain walk (W4, inherently sequential) runs
-    inside applyInPandas per weak component; attribute merge = the
-    collect_set analogue of A8."""
+    has a self-loop. Endpoint flags are computed globally as
+    aggregations, then the per-chain walk (W4, inherently sequential)
+    runs inside applyInPandas grouped by ``label_chains`` chain id —
+    each Arrow task holds one chain, never a whole weak component;
+    attribute merge = the collect_set analogue of A8."""
     seg = edges.select(
         F.col(way_col).alias("wid"),
         F.col(u_col).alias("su"), F.col(v_col).alias("sv"),
         F.col(length_col).alias("slen"),
     )
-    weak = connected_components(seg, "su", "sv")
-    seg = seg.join(weak.withColumnRenamed("node", "su"), "su").withColumnRenamed(
-        "comp", "wcomp")
+    # global endpoint rule: distinct undirected neighbors != 2 or
+    # self-loop (a self-loop puts the node in its own neighbor set,
+    # mirrored by counting it below)
+    nbrs = (
+        seg.select(F.col("su").alias("node"), F.col("sv").alias("nbr"))
+        .unionAll(seg.select(F.col("sv").alias("node"),
+                             F.col("su").alias("nbr")))
+    )
+    ep = (
+        nbrs.groupBy("node")
+        .agg(F.countDistinct("nbr").alias("dn"),
+             F.max((F.col("nbr") == F.col("node")).cast("int"))
+             .alias("has_loop"))
+        .select("node", ((F.col("dn") != 2) | (F.col("has_loop") == 1))
+                .alias("is_endpoint"))
+    )
+    ep_only = ep.filter("is_endpoint").select(
+        F.col("node").alias("_ep"), F.lit(True).alias("_is_ep"))
+    seg = (seg.join(ep_only.withColumnRenamed("_ep", "su"), "su", "left")
+           .withColumnRenamed("_is_ep", "u_ep")
+           .join(ep_only.withColumnRenamed("_ep", "sv"), "sv", "left")
+           .withColumnRenamed("_is_ep", "v_ep")
+           .fillna(False, subset=["u_ep", "v_ep"]))
+    seg = label_chains(seg)
 
     def per_component(pdf: pd.DataFrame) -> pd.DataFrame:
         # undirected adjacency with segment payloads
@@ -551,10 +648,8 @@ def simplify_chains(edges: DataFrame, u_col: str = "u", v_col: str = "v",
         for i, (a, b) in enumerate(zip(pdf["su"], pdf["sv"])):
             adj.setdefault(a, []).append((b, i))
             adj.setdefault(b, []).append((a, i))
-        def is_endpoint(n):
-            nbrs = {x for x, _ in adj[n]}
-            return len(nbrs) != 2 or n in nbrs
-        endpoints = {n for n in adj if is_endpoint(n)}
+        endpoints = set(pdf.loc[pdf["u_ep"], "su"]) | set(
+            pdf.loc[pdf["v_ep"], "sv"])
         used = np.zeros(len(pdf), dtype=bool)
         lens = pdf["slen"].to_numpy()
         wids = pdf["wid"].to_numpy()
@@ -611,7 +706,7 @@ def simplify_chains(edges: DataFrame, u_col: str = "u", v_col: str = "v",
         return pd.DataFrame(rows, columns=["u", "v", "length", "n_segments",
                                            "way_ids"])
 
-    return seg.groupBy("wcomp").applyInPandas(
+    return seg.groupBy("chain_id").applyInPandas(
         per_component,
         schema="u long, v long, length double, n_segments int, "
                "way_ids array<long>",

@@ -562,3 +562,83 @@ def test_remove_rings_flag(spark):
     assert kept[0]["n_segments"] == 3
     dropped = simplify_directed_chains(df, remove_rings=True).collect()
     assert dropped == []
+
+
+# --------------------------------------------------------------------------
+# Chain-local grouping (round-3: the walk must never hold a whole weak
+# component in one Arrow task)
+# --------------------------------------------------------------------------
+
+def test_label_chains_splits_single_weak_component(spark):
+    """A star of three chains is ONE weak component but must form
+    THREE chain groups — the labeler, not the walk, carries the
+    scale guarantee."""
+    from pyrosm_spark.operators.graph import label_chains
+
+    # 1-2-3-100, 100-4-5-6, 100-7-8 with hub 100 an endpoint
+    rows = [
+        (1, 2, False, False), (2, 3, False, False), (3, 100, False, True),
+        (100, 4, True, False), (4, 5, False, False), (5, 6, False, True),
+        (100, 7, True, False), (7, 8, False, True),
+    ]
+    seg = spark.createDataFrame(
+        rows, "su long, sv long, u_ep boolean, v_ep boolean")
+    labeled = label_chains(seg)
+    assert labeled.select("chain_id").distinct().count() == 3
+    # hub-incident segments of different chains get different labels
+    by_pair = {(r["su"], r["sv"]): r["chain_id"] for r in labeled.collect()}
+    assert len({by_pair[(3, 100)], by_pair[(100, 4)],
+                by_pair[(100, 7)]}) == 3
+    # within one chain the label is shared
+    assert by_pair[(1, 2)] == by_pair[(2, 3)] == by_pair[(3, 100)]
+
+
+def test_simplify_star_one_component_three_chains(spark):
+    rows = [
+        (1, 1, 2, 1.0), (2, 2, 3, 1.0), (3, 3, 100, 1.0),
+        (4, 100, 4, 1.0), (5, 4, 5, 1.0), (6, 5, 6, 1.0),
+        (7, 100, 7, 1.0), (8, 7, 8, 1.0),
+    ]
+    e = spark.createDataFrame(rows, "id long, u long, v long, length double")
+    assert connected_components(e).select("comp").distinct().count() == 1
+    out = simplify_chains(e).collect()
+    got = {tuple(sorted((r["u"], r["v"]))): r["length"] for r in out}
+    assert got == {(1, 100): 3.0, (6, 100): 3.0, (8, 100): 2.0}
+
+
+def test_simplify_lollipop_loop_back_to_endpoint(spark):
+    """A loop that starts and ends at a forced endpoint must emit
+    (ep, ep) — the endpoint flag travels with the segments, it is NOT
+    re-derivable from the chain group's local adjacency (inside the
+    group the hub looks like a clean degree-2 pass-through)."""
+    rows = [
+        (9, 1, 2, 1.0),                      # spur making node 1 degree-3
+        (10, 1, 3, 1.0), (11, 3, 4, 1.0),    # ring 1-3-4-5-1
+        (12, 4, 5, 1.0), (13, 5, 1, 1.0),
+    ]
+    e = spark.createDataFrame(rows, "id long, u long, v long, length double")
+    out = {(r["u"], r["v"]): r for r in simplify_chains(e).collect()}
+    assert (1, 1) in out and out[(1, 1)]["n_segments"] == 4
+    spur = out.get((1, 2)) or out.get((2, 1))
+    assert spur is not None and spur["n_segments"] == 1
+
+
+def test_scc_auto_dispatch(spark, toy_edges, monkeypatch):
+    """Above max_task_edges, scc_components transparently dispatches to
+    the distributed path and labels stay identical."""
+    import pyrosm_spark.operators.graph as graphmod
+
+    base = {(r["node"], r["comp"])
+            for r in scc_components(toy_edges).collect()}
+    called = {}
+    orig = graphmod.scc_components_distributed
+
+    def spy(*a, **k):
+        called["dispatched"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(graphmod, "scc_components_distributed", spy)
+    got = {(r["node"], r["comp"])
+           for r in scc_components(toy_edges, max_task_edges=1).collect()}
+    assert called.get("dispatched")
+    assert got == base
