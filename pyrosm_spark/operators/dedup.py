@@ -600,11 +600,27 @@ def _dot(a, b):
 
 def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           max_rows: int | None = 200_000) -> DataFrame:
     """Exact all-pairs cosine >= threshold. Join-on-inequality (id<id)
     — the correctness baseline; the scale path buckets by hyperplane
     LSH first (see similarity.lsh_cosine_pairs). Dot/norm stay native
-    (zip_with + aggregate = JVM codegen)."""
+    (zip_with + aggregate = JVM codegen).
+
+    SIZE-GATED: the O(n²) theta join is an oracle anchor, not a path a
+    pipeline should reach at scale — above ``max_rows`` input rows it
+    raises and points at ``similarity.lsh_cosine_pairs`` (bucketed
+    candidates + exact refine, same pair semantics). Pass
+    ``max_rows=None`` to bypass the gate deliberately."""
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs is the exact O(n^2) baseline "
+                f"({n} rows > max_rows={max_rows}); use "
+                f"similarity.lsh_cosine_pairs for the bucketed scale "
+                f"path, or pass max_rows=None to force the all-pairs "
+                f"join.")
     v = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),

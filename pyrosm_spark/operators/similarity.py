@@ -19,6 +19,14 @@ from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 _HYPERPLANE_SEED = 20260816
+
+# IVF codebook sampling: multiplicative hash over the 32-bit id ring;
+# multiplier < 2^31 keeps the product under 2^63 in both Spark longs
+# and numpy int64, so the engine and the DuckDB-oracle builder compute
+# the identical sample membership.
+_IVF_SAMPLE_RING = 4294967296  # 2^32
+_IVF_SAMPLE_MULT = 1327217885
+_IVF_SAMPLE_MOD = 16
 N_PLANES = 12  # default bucket bits (4096 buckets) for corpus bucketing
 
 
@@ -188,18 +196,29 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Deterministic IVF codebook: Lloyd k-means on a bounded,
-    id-ordered sample (n_cells * sample_per_cell rows — standard IVF
+    hash-prefix sample (n_cells * sample_per_cell rows — standard IVF
     practice: the training set is driver-sized regardless of corpus
     scale; only the ASSIGNMENT pass touches all rows). Seeded init
     (k-means++-lite: first k sample rows after a seeded shuffle), empty
     cells re-seeded from the farthest points, so the codebook is a pure
     function of (corpus sample, n_cells, seed)."""
     n_train = n_cells * sample_per_cell
-    rows = (
-        corpus.select(F.col(corpus_id).alias("i"),
-                      F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy("i").limit(n_train).collect()
-    )
+    base = corpus.select(F.col(corpus_id).alias("i"),
+                         F.col(vec_col).cast("array<double>").alias("v"))
+    # deterministic hash-prefix sample: a multiplicative hash on the id
+    # picks ~1/_IVF_SAMPLE_MOD of the corpus BEFORE the ordered limit,
+    # so no full-corpus TakeOrdered pass runs just to pick n_train
+    # rows. The hash stays in 63-bit range ((2^32-1) * m < 2^63) and is
+    # mirrored bit-for-bit by the numpy path in ``ann_ivf_sql``.
+    h = F.pmod(
+        F.pmod(F.col("i").cast("long"), F.lit(_IVF_SAMPLE_RING))
+        * F.lit(_IVF_SAMPLE_MULT), F.lit(_IVF_SAMPLE_RING))
+    rows = (base.filter(F.pmod(h, F.lit(_IVF_SAMPLE_MOD)) == 0)
+            .orderBy("i").limit(n_train).collect())
+    if len(rows) < n_cells:
+        # tiny-corpus fallback (sample thinner than the codebook):
+        # id-ordered head of the whole corpus, mirrored in the oracle
+        rows = base.orderBy("i").limit(n_train).collect()
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     return kmeans_codebook(mat, n_cells, iters)
 
@@ -351,7 +370,7 @@ def ann_ivf_sql(parquet_path: str, table: str = "embeddings", k: int = 5,
                 query_filter: str = "vec_id < 20",
                 sample_per_cell: int = 256) -> str:
     """DuckDB mirror of ``ann_topk_ivf``: the codebook is re-derived at
-    SQL-build time from the SAME deterministic id-ordered sample the
+    SQL-build time from the SAME deterministic hash-prefix sample the
     engine trains on (read directly from ``parquet_path`` via pyarrow,
     then ``kmeans_codebook`` — bit-identical numpy path), and embedded
     as DOUBLE[] literals exactly like ``ann_lsh_sql`` embeds its
@@ -362,7 +381,14 @@ def ann_ivf_sql(parquet_path: str, table: str = "embeddings", k: int = 5,
     import pyarrow.parquet as pq
 
     t = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").head(n_cells * sample_per_cell)
+    n_train = n_cells * sample_per_cell
+    full = t.to_pandas()
+    ids = full["vec_id"].to_numpy().astype(np.int64)
+    h = ((ids % _IVF_SAMPLE_RING) * _IVF_SAMPLE_MULT) % _IVF_SAMPLE_RING
+    df = (full[h % _IVF_SAMPLE_MOD == 0]
+          .sort_values("vec_id").head(n_train))
+    if len(df) < n_cells:  # tiny-corpus fallback, mirrors the trainer
+        df = full.sort_values("vec_id").head(n_train)
     mat = np.array([np.asarray(v, dtype=np.float64)
                     for v in df["embedding"]])
     cent = kmeans_codebook(mat, n_cells)

@@ -422,3 +422,39 @@ def test_near_dup_clusters_vs_oracle(spark, docs, duck):
     for doc, (canon, is_dup) in data.items():
         assert canon <= doc
         assert data[canon][0] == canon and not data[canon][1]
+
+
+def test_embedding_cosine_pairs_size_gate(spark, emb):
+    """The exact all-pairs join is an oracle anchor: above max_rows it
+    refuses and points at the LSH scale path; max_rows=None forces."""
+    with pytest.raises(ValueError, match="lsh_cosine_pairs"):
+        D.embedding_cosine_pairs(emb, max_rows=10).count()
+    # explicit bypass still works
+    assert D.embedding_cosine_pairs(
+        emb.limit(30), threshold=0.0, max_rows=None).count() > 0
+
+
+def test_ivf_sample_hash_mirrors_numpy(spark, emb):
+    """The Spark-side hash-prefix sample and the oracle-side numpy
+    formula must pick the identical id set (bit-for-bit mirror)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyrosm_spark.operators.similarity import (
+        _IVF_SAMPLE_MOD,
+        _IVF_SAMPLE_MULT,
+        _IVF_SAMPLE_RING,
+    )
+
+    h = F.pmod(
+        F.pmod(F.col("vec_id").cast("long"), F.lit(_IVF_SAMPLE_RING))
+        * F.lit(_IVF_SAMPLE_MULT), F.lit(_IVF_SAMPLE_RING))
+    spark_ids = sorted(
+        r["vec_id"] for r in emb.filter(
+            F.pmod(h, F.lit(_IVF_SAMPLE_MOD)) == 0).collect())
+    ids = np.array(sorted(r["vec_id"] for r in emb.collect()),
+                   dtype=np.int64)
+    hh = ((ids % _IVF_SAMPLE_RING) * _IVF_SAMPLE_MULT) % _IVF_SAMPLE_RING
+    np_ids = sorted(ids[hh % _IVF_SAMPLE_MOD == 0].tolist())
+    assert spark_ids == np_ids
+    assert 0 < len(np_ids) < len(ids)  # a real subsample on this corpus
