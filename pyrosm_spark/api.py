@@ -73,6 +73,10 @@ class OSM:
         self.keep_metadata = keep_metadata
         self.complete_relations = complete_relations
         self._tables = None
+        # per-instance conf (reference pyrosm.py: self.conf = Conf):
+        # mutations like osm.conf.tags.highway.append(...) widen that
+        # instance's layer columns and never leak across instances
+        self.conf = Conf()
 
     # -- source -----------------------------------------------------------
 
@@ -97,19 +101,23 @@ class OSM:
             rels = self._at(rels, timestamp)
         return nodes, ways, rels
 
-    @staticmethod
-    def _tag_cols(default_of, tags_to_keep, extra_attributes):
+    def _tag_cols(self, layer_keys, tags_to_keep, extra_attributes):
         """Reference column-control semantics (pyrosm.py:451-466):
         ``tags_to_keep`` REPLACES the layer's default tag-column set,
         ``extra_attributes`` APPENDS to it; both affect presentation
-        columns only, never filtering."""
-        if tags_to_keep is None and extra_attributes is None:
-            return None  # layer default
-        base = list(tags_to_keep) if tags_to_keep is not None else None
-        if base is None:
-            from pyrosm_spark.operators import presets
-
-            base = list(getattr(presets, default_of))
+        columns only, never filtering. The layer default is the union
+        of THIS instance's ``conf.tags.<key>`` lists, so conf
+        customization drives execution exactly like the reference."""
+        if tags_to_keep is not None:
+            base = list(tags_to_keep)
+        else:
+            seen: set = set()
+            base = []
+            for key in layer_keys:
+                for t in getattr(self.conf.tags, key):
+                    if t not in seen:
+                        seen.add(t)
+                        base.append(t)
         for k in extra_attributes or []:
             if k not in base:
                 base.append(k)
@@ -124,9 +132,8 @@ class OSM:
         """pyrosm.py:314-497. Returns edges, or (nodes, edges) when
         ``nodes=True`` (segment-level with u/v/length)."""
         n, w, _ = self._src(timestamp)
-        tc = self._tag_cols("NETWORK_TAG_COLS", tags_to_keep,
-                            extra_attributes)
-        kw = {} if tc is None else {"tag_cols": tc}
+        tc = self._tag_cols(("highway",), tags_to_keep, extra_attributes)
+        kw = {"tag_cols": tc}
         return _get_network(n, w, network_type, custom_filter=custom_filter,
                             bbox=self.bounding_box, with_nodes=nodes, **kw)
 
@@ -136,7 +143,7 @@ class OSM:
         return L.get_buildings(
             n, w, r, custom_filter, bbox=self.bounding_box,
             keep_metadata=self.keep_metadata,
-            tag_cols=self._tag_cols("BUILDING_TAG_COLS", tags_to_keep,
+            tag_cols=self._tag_cols(("building",), tags_to_keep,
                                     extra_attributes),
             complete_relations=self.complete_relations)
 
@@ -146,8 +153,8 @@ class OSM:
         return L.get_pois(
             n, w, r, custom_filter, bbox=self.bounding_box,
             keep_metadata=self.keep_metadata,
-            tag_cols=self._tag_cols("POI_TAG_COLS", tags_to_keep,
-                                    extra_attributes),
+            tag_cols=self._tag_cols(("amenity", "shop", "tourism"),
+                                    tags_to_keep, extra_attributes),
             complete_relations=self.complete_relations)
 
     def get_landuse(self, custom_filter=None, timestamp=None,
@@ -156,7 +163,7 @@ class OSM:
         return L.get_landuse(
             n, w, r, custom_filter, bbox=self.bounding_box,
             keep_metadata=self.keep_metadata,
-            tag_cols=self._tag_cols("LANDUSE_TAG_COLS", tags_to_keep,
+            tag_cols=self._tag_cols(("landuse",), tags_to_keep,
                                     extra_attributes),
             complete_relations=self.complete_relations)
 
@@ -166,7 +173,7 @@ class OSM:
         return L.get_natural(
             n, w, r, custom_filter, bbox=self.bounding_box,
             keep_metadata=self.keep_metadata,
-            tag_cols=self._tag_cols("NATURAL_TAG_COLS", tags_to_keep,
+            tag_cols=self._tag_cols(("natural",), tags_to_keep,
                                     extra_attributes),
             complete_relations=self.complete_relations)
 
@@ -182,7 +189,7 @@ class OSM:
             n, w, r, boundary_type=boundary_type, name=name,
             keep_metadata=self.keep_metadata,
             custom_filter=custom_filter, bbox=self.bounding_box,
-            tag_cols=self._tag_cols("BOUNDARY_TAG_COLS", tags_to_keep,
+            tag_cols=self._tag_cols(("boundary",), tags_to_keep,
                                     extra_attributes))
 
     def get_data_by_custom_criteria(
@@ -331,8 +338,9 @@ class _NetworkFilters:
 class Conf:
     """``osm.conf`` — the reference's configuration surface
     (config/__init__.py:94-103): candidate tag lists, network filter
-    dicts, oneway values. Read-only views onto the presets the engine
-    actually uses, so what a user inspects IS what executes."""
+    dicts, oneway values. Built per OSM instance; the layer methods
+    derive their default tag columns from ``conf.tags`` at call time,
+    so what a user inspects (and mutates) IS what executes."""
 
     def __init__(self):
         from pyrosm_spark.operators.presets import ONEWAY_VALUES
@@ -340,7 +348,3 @@ class Conf:
         self.tags = _Tags()
         self.network_filters = _NetworkFilters()
         self.oneway_values = list(ONEWAY_VALUES)
-
-
-# attach the shared conf to the facade (reference: self.conf = Conf)
-OSM.conf = Conf()

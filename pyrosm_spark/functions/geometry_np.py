@@ -279,7 +279,10 @@ def ring_self_intersections(ring: np.ndarray):
         d[:, 1][:, None] * d[:, 0][None, :]
     dax = a[None, :, 0] - a[:, None, 0]  # a_j - a_i (x)
     day = a[None, :, 1] - a[:, None, 1]
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # over="ignore": near-parallel edges make denom tiny and t/u huge;
+    # those are rejected by the 0<t<1 bounds below, so the overflow is
+    # benign and must not warn from worker tasks
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         t = (dax * d[None, :, 1] - day * d[None, :, 0]) / denom
         u = (dax * d[:, None, 1] - day * d[:, None, 0]) / denom
     i_idx, j_idx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")

@@ -134,6 +134,11 @@ def relation_member_ways(relations: DataFrame) -> DataFrame:
 
 
 _BROADCAST_MEMBER_PROBE = 100_000
+# What actually gets broadcast downstream is the POSEXPLODED refs of
+# the member ways plus the aggregated point structs (~16-50 bytes per
+# ref), not the member list itself — so the auto decision must also
+# bound the ref total (1M refs ≈ tens of MB serialized).
+_BROADCAST_REFS_PROBE = 1_000_000
 
 
 def assemble_relations(
@@ -164,6 +169,19 @@ def assemble_relations(
     if broadcast_members is None:
         probe = members.limit(_BROADCAST_MEMBER_PROBE + 1).count()
         broadcast_members = probe <= _BROADCAST_MEMBER_PROBE
+        if broadcast_members:
+            # second probe: bound the exploded-refs broadcast payload,
+            # not just the member count — a column-pruned (id,
+            # size(refs)) pass over ways, semi-joined to the (already
+            # known small) member list
+            refs_total = (
+                ways.select(F.col("id").alias("way_id"),
+                            F.size("refs").alias("_n_refs"))
+                .join(F.broadcast(members.select("way_id").distinct()),
+                      "way_id", "left_semi")
+                .agg(F.sum("_n_refs")).first()[0]
+            )
+            broadcast_members = (refs_total or 0) <= _BROADCAST_REFS_PROBE
     m = F.broadcast(members) if broadcast_members else members
     member_ways = m.join(
         ways.select(F.col("id").alias("way_id"), "refs"), "way_id", "inner"

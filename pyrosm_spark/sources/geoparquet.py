@@ -103,20 +103,35 @@ def write_geoparquet(
     partition_by: Sequence[str] | None = None,
 ) -> dict:
     """Write ``df`` as GeoParquet; returns the ``geo`` metadata dict
-    that was stamped into every part file."""
+    that was stamped into the part files written by THIS call.
+
+    With ``mode='append'`` only the newly written part files are
+    stamped (with stats of the appended batch): pre-existing files keep
+    their own footers, so an earlier write's bbox/geometry_types are
+    never overwritten with stats they don't describe. Footer metadata
+    is therefore per-write-batch, not whole-dataset — readers that
+    need dataset-level bounds must union the per-file footers (the
+    GeoParquet spec's own reading rule for multi-file datasets)."""
     if geometry_col not in df.columns:
         raise ValueError(f"no geometry column {geometry_col!r} in "
                          f"{df.columns}")
     types, bbox = _geometry_stats(df, geometry_col)
     geo = geo_metadata(geometry_col, types, bbox)
+    pre_existing: set = set()
+    if mode == "append" and os.path.isdir(path):
+        pre_existing = {
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path) for f in fs
+            if f.endswith(".parquet")}
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     for root, _dirs, files in os.walk(path):
         for f in files:
-            if f.endswith(".parquet"):
-                _stamp_file(os.path.join(root, f), geo)
+            p = os.path.join(root, f)
+            if f.endswith(".parquet") and p not in pre_existing:
+                _stamp_file(p, geo)
     return geo
 
 

@@ -258,3 +258,23 @@ def test_conf_surface_matches_engine_presets(osm):
     assert conf.network_filters.driving == network_filter("driving")
     assert conf.network_filters.cycling == network_filter("cycling")
     assert conf.oneway_values == list(ONEWAY_VALUES)
+
+
+def test_conf_is_per_instance_and_drives_execution(spark, synth_dir):
+    """Reference-style customization: appending a key to
+    osm.conf.tags.highway adds that tag column to get_network output
+    for THAT instance only — conf is not a shared singleton."""
+    a = OSM(spark, synth_dir)
+    b = OSM(spark, synth_dir)
+    assert a.conf is not b.conf
+    # narrow a's highway candidate list: 'maxspeed' occurs on synth
+    # driving ways, so removing it from conf must drop the column for
+    # instance a while instance b keeps it (widening can't be probed
+    # here — every occurring highway-way key is already a default, and
+    # F9 prunes non-occurring keys regardless of conf)
+    a.conf.tags.highway.remove("maxspeed")
+    assert "maxspeed" in b.conf.tags.highway
+    cols_a = a.get_network("driving").columns
+    cols_b = b.get_network("driving").columns
+    assert "maxspeed" not in cols_a
+    assert "maxspeed" in cols_b

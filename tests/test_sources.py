@@ -179,3 +179,38 @@ def test_partitioned_write_prunes_partitions(spark, synth_dir, tmp_path):
     # pruned read returns exactly the matching rows
     exp = tiled.filter(F.col("cell_prefix") == 3).count()
     assert back.count() == exp > 0
+
+
+def test_geoparquet_append_preserves_existing_footers(spark, tmp_path):
+    """mode='append' stamps ONLY the newly written part files: the
+    first batch's footers (bbox of that batch) survive a later append
+    whose geometry lives somewhere else entirely."""
+    import json
+    import os as _os
+
+    import pyarrow.parquet as pq2
+
+    from pyrosm_spark.functions.geometry_np import wkb_point
+    from pyrosm_spark.sources.geoparquet import write_geoparquet
+
+    def batch(lon, lat, ids):
+        rows = [(i, bytearray(wkb_point(lon + i * 0.01, lat)))
+                for i in range(*ids)]
+        return spark.createDataFrame(rows, "id long, geometry binary")
+
+    out = str(tmp_path / "appended_geo")
+    geo1 = write_geoparquet(batch(10.0, 50.0, (0, 5)).coalesce(1), out)
+    first_parts = {f for f in _os.listdir(out) if f.endswith(".parquet")}
+    geo2 = write_geoparquet(batch(-120.0, -30.0, (5, 10)).coalesce(1),
+                            out, mode="append")
+    assert geo1["columns"]["geometry"]["bbox"] != \
+        geo2["columns"]["geometry"]["bbox"]
+    for f in _os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq2.read_schema(_os.path.join(out, f)).metadata
+        got = json.loads(meta[b"geo"].decode())
+        expect = geo1 if f in first_parts else geo2
+        assert got == expect
+    # whole dataset still readable
+    assert spark.read.parquet(out).count() == 10
