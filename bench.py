@@ -115,12 +115,26 @@ def main():
     assign_tiles(images_hl, 12).groupBy("cell").count().count()
     point_in_polygon_join(images_hl.limit(20_000), polygons, res=15).count()
 
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     timings: dict = {}
+    all_timings: dict = {}
 
     def bench(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        """min-of-N timing (SPARK_GRAFT_REPS, default 3): this host
+        shows 2-5x wall swings from contention, so single-shot numbers
+        made round-over-round deltas undecidable (round-2 verdict);
+        per-query minima at a fixed parallelism are the stable
+        statistic. Row counts come from the first repetition."""
+        runs = []
+        out = None
+        for i in range(max(reps, 1)):
+            t0 = time.time()
+            got = fn()
+            runs.append(round(time.time() - t0, 3))
+            if i == 0:
+                out = got
+        timings[name] = min(runs)
+        all_timings[name] = runs
         return out
 
     # headline components (4x geometry-only table) -----------------------
@@ -162,6 +176,8 @@ def main():
         "sf": sf,
         "total_sec": total,
         "cpus": cpus,
+        "reps": reps,
+        "queries_all_reps": all_timings,
         "n_images": n_images,
         "n_polygons": n_polys,
         "rows": {"tiles": n_tiles, "pip": n_pip, "knn": n_knn,
