@@ -181,26 +181,6 @@ def simplify_directed_chains(
     the original orientation) have their coordinates flipped first —
     the reference's reversal bookkeeping.
     """
-    eps = endpoint_nodes(edges, u_col, v_col, edge_attr_cols, node_include)
-    return _simplify_from_endpoints(
-        edges, eps, u_col, v_col, length_col, way_col,
-        edge_attr_cols, geometry_col, remove_rings)
-
-
-def _simplify_from_endpoints(
-    edges: DataFrame,
-    eps: DataFrame,
-    u_col: str,
-    v_col: str,
-    length_col: str,
-    way_col: str,
-    edge_attr_cols: tuple,
-    geometry_col: str | None,
-    remove_rings: bool,
-) -> DataFrame:
-    ep_only = eps.filter("is_endpoint").select(
-        F.col("node").alias("_ep"), F.lit(True).alias("_is_ep"))
-
     seg_cols = [
         F.col(way_col).alias("wid"),
         F.col(u_col).alias("su"), F.col(v_col).alias("sv"),
@@ -213,7 +193,28 @@ def _simplify_from_endpoints(
              else F.lit(False)).alias("srev"))
     for c in edge_attr_cols:
         seg_cols.append(F.col(c).cast("string").alias(f"attr_{c}"))
-    seg = edges.select(*seg_cols)
+    # checkpoint the projected segment frame ONCE: endpoint detection,
+    # the flag joins and chain labeling each run several jobs, and
+    # without this every one of them re-executes the whole upstream
+    # network pipeline
+    seg = edges.select(*seg_cols).localCheckpoint()
+    eps = endpoint_nodes(
+        seg, "su", "sv",
+        tuple(f"attr_{c}" for c in edge_attr_cols), node_include)
+    return _simplify_from_endpoints(
+        seg, eps, edge_attr_cols, geometry_col, remove_rings)
+
+
+def _simplify_from_endpoints(
+    seg: DataFrame,
+    eps: DataFrame,
+    edge_attr_cols: tuple,
+    geometry_col: str | None,
+    remove_rings: bool,
+) -> DataFrame:
+    ep_only = eps.filter("is_endpoint").select(
+        F.col("node").alias("_ep"), F.lit(True).alias("_is_ep"))
+
     seg = (seg.join(ep_only.withColumnRenamed("_ep", "su"), "su", "left")
            .withColumnRenamed("_is_ep", "u_ep")
            .join(ep_only.withColumnRenamed("_ep", "sv"), "sv", "left")
@@ -417,6 +418,12 @@ def connected_components(edges: DataFrame, u_col: str = "u",
         .distinct()
         .localCheckpoint()
     )
+    # adaptive: when the whole edge set already fits the driver cap,
+    # contraction rounds only add ~2 shuffle jobs each for nothing —
+    # the union-find finish is bounded either way. The count is
+    # metadata-cheap on the checkpointed frame.
+    if und.count() <= max_driver_edges:
+        contraction_rounds = 0
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "comp", F.col("node"))
     for _ in range(contraction_rounds):
@@ -616,7 +623,7 @@ def simplify_chains(edges: DataFrame, u_col: str = "u", v_col: str = "v",
         F.col(way_col).alias("wid"),
         F.col(u_col).alias("su"), F.col(v_col).alias("sv"),
         F.col(length_col).alias("slen"),
-    )
+    ).localCheckpoint()  # one upstream materialization, many readers
     # global endpoint rule: distinct undirected neighbors != 2 or
     # self-loop (a self-loop puts the node in its own neighbor set,
     # mirrored by counting it below)

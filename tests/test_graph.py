@@ -642,3 +642,63 @@ def test_scc_auto_dispatch(spark, toy_edges, monkeypatch):
            for r in scc_components(toy_edges, max_task_edges=1).collect()}
     assert called.get("dispatched")
     assert got == base
+
+
+def test_igraph_pandana_constructor_smoke_with_fake_modules(
+        spark, monkeypatch):
+    """Execute the final igraph.Graph / pandana.Network constructor
+    lines of to_igraph/to_pandana against injected fake modules (the
+    real libs are absent in this container), asserting the constructor
+    receives exactly the tested frame contracts."""
+    import sys
+    import types
+
+    from pyrosm_spark.operators.export import to_igraph, to_pandana
+
+    nodes = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 1.0, 0.0), (3, 1.0, 1.0)],
+        "id long, lon double, lat double")
+    edges = spark.createDataFrame(
+        [(10, 1, 2, 5.0), (11, 2, 3, 7.0), (12, 3, 1, 9.0)],
+        "id long, u long, v long, length double")
+
+    captured = {}
+
+    fake_ig = types.ModuleType("igraph")
+
+    class _FakeGraph:
+        def __init__(self, n, directed, edges, vertex_attrs, edge_attrs):
+            captured["igraph"] = dict(
+                n=n, directed=directed, edges=edges,
+                vertex_attrs=vertex_attrs, edge_attrs=edge_attrs)
+
+    fake_ig.Graph = _FakeGraph
+    fake_pd = types.ModuleType("pandana")
+
+    class _FakeNetwork:
+        def __init__(self, node_x, node_y, edge_from, edge_to,
+                     edge_weights, twoway):
+            captured["pandana"] = dict(
+                node_x=node_x, node_y=node_y, edge_from=edge_from,
+                edge_to=edge_to, edge_weights=edge_weights, twoway=twoway)
+
+    fake_pd.Network = _FakeNetwork
+    monkeypatch.setitem(sys.modules, "igraph", fake_ig)
+    monkeypatch.setitem(sys.modules, "pandana", fake_pd)
+
+    g = to_igraph(nodes, edges, already_directed=True, retain_all=True)
+    assert isinstance(g, _FakeGraph)
+    ig = captured["igraph"]
+    assert ig["n"] == 3 and ig["directed"] is True
+    assert sorted(ig["edges"]) == sorted(ig["edges"])
+    assert all(0 <= a < 3 and 0 <= b < 3 for a, b in ig["edges"])
+    assert len(ig["vertex_attrs"]["id"]) == 3
+    assert len(ig["edge_attrs"]["length"]) == len(ig["edges"]) == 3
+
+    net = to_pandana(nodes, edges, already_directed=True, retain_all=True)
+    assert isinstance(net, _FakeNetwork)
+    pa = captured["pandana"]
+    assert pa["twoway"] is False
+    assert sorted(pa["node_x"].tolist()) == [0.0, 1.0, 1.0]
+    assert list(pa["edge_weights"].columns) == ["length"]
+    assert len(pa["edge_from"]) == 3
