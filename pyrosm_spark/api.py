@@ -8,9 +8,11 @@ changing the constructor — same method names, same parameter names,
 DataFrames out instead of GeoDataFrames.
 
 Differences, all deliberate:
-- the source is a directory of columnar element tables (parquet /
-  Iceberg via `sources.read_table`), not a PBF file path — ingest is a
-  one-time upstream step at 100 TB;
+- the PREFERRED source is a directory of columnar element tables
+  (parquet / Iceberg via `sources.read_table`) — ingest is a one-time
+  upstream step at 100 TB. A `.osm.pbf` file path also works (the
+  reference's constructor input), decoded distributed by the
+  from-scratch codec in `sources.pbf`;
 - methods return lazy DataFrames: nothing is parsed or materialized
   until an action runs, so chaining a bbox + filter compiles into ONE
   Catalyst plan with pushdown (the reference re-parses the PBF per

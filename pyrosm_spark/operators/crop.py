@@ -4,11 +4,12 @@ distributed semi-join cascade.
 ``pbf_export.pyx:173-248`` selects a consistent element subset for a
 bbox in 3 stages: (1) nodes in bbox, (2) ways referencing >=1 selected
 node — kept COMPLETE, which pulls in their out-of-box nodes, (3)
-relations referencing any selected node or way (J12). The byte-level
-PBF re-writing is out of scope (no PBF I/O in this engine — SURVEY.md
-§7.3); the output is the same consistent (nodes, ways, relations)
-table triple written as parquet, which is this engine's native
-interchange format.
+relations referencing any selected node or way (J12). The output is
+the consistent (nodes, ways, relations) triple, persisted either as
+the engine's native parquet interchange (``crop_to_dataset``) or as a
+byte-level ``.osm.pbf`` container (``crop_to_pbf``, via the
+from-scratch codec in ``sources.pbf`` — the reference's
+``pbf_export.pyx:551-638`` capability).
 
 Every stage is a semi-join; the node-closure stage is the union of
 in-box nodes and all refs of kept ways (U2/U3 set algebra).
@@ -100,3 +101,22 @@ def crop_to_dataset(
         write_table(df, path, fmt="parquet")
         counts[name] = df.count()
     return counts
+
+
+def crop_to_pbf(
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    bbox: tuple,
+    out_path: str,
+) -> dict:
+    """Reference ``OSM.crop``/``pbf_export.pyx:551-638`` end to end:
+    the 3-stage selection cascade followed by a byte-level ``.osm.pbf``
+    write (distributed block encode, driver-streamed framing). The
+    file reads back through ``sources.pbf.read_pbf`` / the ``OSM``
+    facade / any public OSM PBF tool. Returns the write manifest
+    (per-type row counts + blob count)."""
+    from pyrosm_spark.sources.pbf import write_pbf
+
+    n, w, r = crop_tables(nodes, ways, relations, bbox)
+    return write_pbf(n, w, r, out_path)

@@ -27,12 +27,31 @@ ENGINE_COLUMNS = {
 def load_osm(spark: SparkSession, data_dir: str, visible_only: bool = True):
     """Read (nodes, ways, relations) with engine columns only.
 
+    ``data_dir`` is either a directory of columnar element tables (the
+    scale path — parquet/Iceberg) or a single ``.osm.pbf`` file (the
+    reference's native constructor input, ``pyrosm.py:128-204``),
+    decoded distributed by ``sources.pbf.read_pbf``.
+
     Selecting the engine column set up front lets Catalyst prune the
     materialized oracle tag columns out of every scan (``ReadSchema``
     stays minimal). ``visible_only`` drops deleted elements — the
     history-file semantics of ``pbfreader.pyx:528-542`` (F11).
     """
     from pyrosm_spark.sources import read_table
+
+    if data_dir.endswith(".pbf") or (
+            os.path.isfile(data_dir) and not data_dir.endswith(".parquet")):
+        from pyrosm_spark.sources.pbf import read_pbf
+
+        frames = read_pbf(spark, data_dir)
+        out = []
+        for df, name in zip(frames,
+                            ("osm_nodes", "osm_ways", "osm_relations")):
+            df = df.select(*ENGINE_COLUMNS[name])
+            if visible_only:
+                df = df.filter(F.col("visible"))
+            out.append(df)
+        return tuple(out)
 
     out = []
     for name in ("osm_nodes", "osm_ways", "osm_relations"):

@@ -13,5 +13,13 @@ from pyrosm_spark.sources.table import (
     read_table,
     write_table,
 )
+from pyrosm_spark.sources.pbf import (
+    read_pbf,
+    read_pbf_union,
+    write_pbf,
+)
 
-__all__ = ["read_table", "write_table", "iceberg_available"]
+__all__ = [
+    "read_table", "write_table", "iceberg_available",
+    "read_pbf", "read_pbf_union", "write_pbf",
+]

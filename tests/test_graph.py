@@ -441,6 +441,73 @@ def test_to_igraph_raises_clean_importerror(spark, synth_dir):
             to_pandana(gnodes, edges)
 
 
+def test_exporter_constructors_via_fake_modules(spark, synth_dir,
+                                                monkeypatch):
+    """Drive the FINAL constructor lines of to_igraph/to_pandana
+    (export.py:226-231, :282-284) without the real runtimes: inject
+    stand-in modules that capture the constructor call, and assert the
+    captured arguments satisfy the libraries' documented contracts
+    (igraph: sequential vertex ids covering every edge endpoint;
+    pandana: positional/keyword frames aligned on the directed edge
+    list)."""
+    import sys
+    import types
+
+    from pyrosm_spark.operators.export import to_igraph, to_pandana
+    from pyrosm_spark.operators.network import get_network
+    from pyrosm_spark.operators.osm_source import load_osm
+
+    nodes, ways, _ = load_osm(spark, synth_dir)
+    gnodes, edges = get_network(nodes, ways, "driving", with_nodes=True)
+
+    captured = {}
+
+    class _FakeGraph:
+        def __init__(self, n, directed, edges, vertex_attrs, edge_attrs):
+            captured["igraph"] = dict(
+                n=n, directed=directed, edges=edges,
+                vertex_attrs=vertex_attrs, edge_attrs=edge_attrs)
+
+    fake_ig = types.ModuleType("igraph")
+    fake_ig.Graph = _FakeGraph
+    monkeypatch.setitem(sys.modules, "igraph", fake_ig)
+
+    g = to_igraph(gnodes, edges)
+    assert isinstance(g, _FakeGraph)
+    cap = captured["igraph"]
+    assert cap["directed"] is True
+    assert cap["n"] == len(cap["vertex_attrs"]["node_id"])
+    assert cap["vertex_attrs"]["node_id"] == list(range(cap["n"]))
+    assert len(cap["edges"]) > 0
+    assert all(0 <= a < cap["n"] and 0 <= b < cap["n"]
+               for a, b in cap["edges"])
+    assert len(cap["edge_attrs"]["u_seq"]) == len(cap["edges"])
+
+    class _FakeNetwork:
+        def __init__(self, node_x, node_y, edge_from, edge_to,
+                     edge_weights, twoway):
+            captured["pandana"] = dict(
+                node_x=node_x, node_y=node_y, edge_from=edge_from,
+                edge_to=edge_to, edge_weights=edge_weights,
+                twoway=twoway)
+
+    fake_pd = types.ModuleType("pandana")
+    fake_pd.Network = _FakeNetwork
+    monkeypatch.setitem(sys.modules, "pandana", fake_pd)
+
+    net = to_pandana(gnodes, edges)
+    assert isinstance(net, _FakeNetwork)
+    cap = captured["pandana"]
+    assert cap["twoway"] is False
+    assert len(cap["node_x"]) == len(cap["node_y"]) > 0
+    assert len(cap["edge_from"]) == len(cap["edge_to"]) == len(
+        cap["edge_weights"])
+    assert list(cap["edge_weights"].columns) == ["length"]
+    known = set(cap["node_x"].index)
+    assert set(cap["edge_from"]).issubset(known)
+    assert set(cap["edge_to"]).issubset(known)
+
+
 def _scc_maps(spark, rows):
     from pyrosm_spark.operators.graph import (
         scc_components,
