@@ -258,6 +258,7 @@ def banded_self_pairs(
     n_blocks: int = 1,
     extra_cols: tuple = (),
     first_band_cond=None,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Enumerate unordered within-bucket pairs of a banded table.
 
@@ -276,6 +277,21 @@ def banded_self_pairs(
     rows alone (hash-banded schemes can: the full hash rides along),
     moves that dedup into the join predicate — each pair is emitted
     exactly once and the distinct shuffle disappears.
+
+    ``hot_threshold``: when set (rows per bucket), only buckets LARGER
+    than it are chunk-blocked; cold buckets join unreplicated. Block
+    replication costs (S+1)/2 x the left shuffle, and skew blocking
+    only pays for itself on the few dense buckets — the hot set is
+    found with one bounded aggregation (<= total_rows / threshold
+    buckets) and broadcast. None = block every bucket (legacy dial).
+
+    Both sides carry SHUFFLE_HASH hints: this is a self-join of
+    equal-size tables, so a broadcast build (which Spark picks when
+    the checkpointed side's stats read small) is never right — at
+    scale the banded table is the full corpus x bands and would OOM
+    the driver; observed 2x slower even at bench scale from the
+    single-threaded 8M-row HashedRelation build.
+
     Returns columns id_a, id_b (+ a_<c>/b_<c> for extra_cols).
     """
     sel_a = [F.col(f"a.{id_col}").alias("id_a")] + [
@@ -290,7 +306,8 @@ def banded_self_pairs(
         "spark.sql.shuffle.partitions", "32"))
     banded = banded.repartition(shuffle_n).localCheckpoint()
     if n_blocks <= 1:
-        a, b = banded.alias("a"), banded.alias("b")
+        a = banded.hint("shuffle_hash").alias("a")
+        b = banded.hint("shuffle_hash").alias("b")
         cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         for c in band_cols:
             cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
@@ -299,10 +316,20 @@ def banded_self_pairs(
             return a.join(b, cond).select(*sel_a, *sel_b)
         return a.join(b, cond).select(*sel_a, *sel_b).distinct()
 
-    chunk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    if hot_threshold is not None:
+        hot = (banded.groupBy(*band_cols).count()
+               .filter(F.col("count") > hot_threshold)
+               .select(*band_cols, F.lit(n_blocks).alias("_nb")))
+        banded = banded.join(F.broadcast(hot), band_cols, "left").withColumn(
+            "_nb", F.coalesce(F.col("_nb"), F.lit(1)))
+    else:
+        banded = banded.withColumn("_nb", F.lit(n_blocks))
+    chunk = F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int")
     left = banded.withColumn("_ca", chunk).withColumn(
-        "_cb", F.explode(F.sequence(F.col("_ca"), F.lit(n_blocks - 1))))
+        "_cb", F.explode(F.sequence(F.col("_ca"), F.col("_nb") - 1)))
     right = banded.withColumn("_cb", chunk)
+    left = left.hint("shuffle_hash")
+    right = right.hint("shuffle_hash")
     a, b = left.alias("a"), right.alias("b")
     cond = F.col("a._cb") == F.col("b._cb")
     for c in band_cols:
@@ -660,11 +687,15 @@ def embedding_cosine_sql(table: str = "embeddings",
 def phash_pairs(images: DataFrame, max_hamming: int = 6,
                 id_col: str = "image_id",
                 phash_col: str = "phash",
-                n_blocks: int = 1) -> DataFrame:
+                n_blocks: int = 1,
+                hot_threshold: int | None = 4096) -> DataFrame:
     """Near-duplicate images by perceptual-hash hamming distance,
     16-bit-band blocked (pigeonhole-complete for max_hamming <= 3; a
     recall/cost dial above that). Dense band buckets (visually similar
-    image clusters) parallelize via the skew-blocked self-join."""
+    image clusters) parallelize via the skew-blocked self-join; only
+    buckets above ``hot_threshold`` rows pay the block replication
+    (band-key cardinality is <= 4x65536, so the hot-set probe is
+    bounded forever)."""
     base = images.select(F.col(id_col).alias("img"),
                          F.col(phash_col).alias("ph"))
     bands = F.array(*[
@@ -677,7 +708,8 @@ def phash_pairs(images: DataFrame, max_hamming: int = 6,
         "img", "ph", "bk.band", "bk.key")
     pairs = banded_self_pairs(banded, ["band", "key"], "img", n_blocks,
                               extra_cols=("ph",),
-                              first_band_cond=_first_chunk_cond("ph"))
+                              first_band_cond=_first_chunk_cond("ph"),
+                              hot_threshold=hot_threshold)
     return (
         pairs.select(
             F.col("id_a").alias("img_a"), F.col("id_b").alias("img_b"),

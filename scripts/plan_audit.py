@@ -111,6 +111,15 @@ def main():
     check("ngram df cap: hot-shingle anti-join is broadcast",
           "BroadcastHashJoin" in p and "LeftAnti" in p)
 
+    # 8. banded self-joins (dedup candidate generators): the two sides
+    # are the same corpus-sized table — must be ShuffledHashJoin, never
+    # a broadcast build (driver OOM at scale, single-threaded build)
+    from pyrosm_spark.operators.dedup import phash_pairs
+    img_df = spark.read.parquet(os.path.join(em.SYNTH_DIR,
+                                             "images.parquet"))
+    p = plan_of(phash_pairs(img_df, n_blocks=8))
+    check("phash_pairs: self-join is ShuffledHashJoin",
+          "ShuffledHashJoin" in p)
     print(f"\n{'ALL OK' if not FAILS else f'{len(FAILS)} FAILURES: {FAILS}'}")
     sys.exit(1 if FAILS else 0)
 
