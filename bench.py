@@ -35,7 +35,7 @@ def sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-def ensure_bench_data(sf: float) -> str:
+def ensure_bench_data(sf: float) -> tuple:
     """Deterministic bench-scale synth tables, cached per sf."""
     from pyrosm_spark.synth import ensure_images_table, ensure_osm_tables
 
@@ -50,26 +50,32 @@ def ensure_bench_data(sf: float) -> str:
         bytes_every=max(n_images // 10_000, 1),
         rows_per_file=25_000,  # multi-file: scan parallelism
     )
-    # headline-only table, 4x rows, no binary payloads: the spatial-join
-    # measurement needs enough compute per level that the per-query
-    # constant (JVM/codegen/scan setup, ~1-1.5 s) doesn't dominate the
-    # scaling ratio; payload-dependent queries keep the 1x table
-    n_hl = 4 * n_images
+    # headline-only table, hl_factor x rows, no binary payloads: the
+    # spatial-join measurement needs enough compute per level that the
+    # per-query constant (JVM/codegen/scan setup, ~0.5-1.5 s) doesn't
+    # dominate the scaling ratio; payload-dependent queries keep the 1x
+    # table. SPARK_GRAFT_HL_FACTOR raises it further for scaling runs
+    # (scripts/scaling_bench.py uses 16x so the fixed overhead amortizes
+    # the way it would at the rule's 10^12-row regime).
+    hl_factor = int(os.environ.get("SPARK_GRAFT_HL_FACTOR", "4"))
+    n_hl = hl_factor * n_images
+    hl_name = ("images_hl.parquet" if hl_factor == 4
+               else f"images_hl_f{hl_factor}.parquet")
     ensure_images_table(
-        os.path.join(out, "images_hl.parquet"),
+        os.path.join(out, hl_name),
         n_rows=n_hl,
         seed=43,
         bytes_every=n_hl,  # a single payload row: geometry-only workload
         rows_per_file=50_000,
     )
-    return out
+    return out, hl_name
 
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_from_dir(sf_dir)
-    bench_dir = ensure_bench_data(sf)
+    bench_dir, hl_name = ensure_bench_data(sf)
 
     from pyspark.sql import functions as F
 
@@ -88,19 +94,31 @@ def main():
     spark = get_spark(
         "bench", master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 16),
-        extra_conf={
-            # CPU-heavy rows, small bytes: without these, one 30 MB scan
-            # becomes 1 input split and AQE coalesces shuffles to 1-2
-            # partitions — parallelism evaporates regardless of cores
-            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes":
-                str(1024 * 1024),
-        },
     )
+
+    def small_file_confs(on: bool):
+        """CPU-heavy rows, small bytes (docs/images dedup + decode):
+        without 4 MB splits, one 30 MB scan becomes 1 input split and
+        AQE coalesces shuffles to 1-2 partitions — parallelism
+        evaporates regardless of cores. But the same conf fragments the
+        8M-row headline table into 160 splits whose per-task Arrow
+        overhead dominates the PIP refine (observed 1.9s -> 6.2s), so
+        it is scoped to the queries that need it: these are runtime
+        confs read at file-scan/AQE planning, per query."""
+        if on:
+            spark.conf.set("spark.sql.files.maxPartitionBytes",
+                           str(4 * 1024 * 1024))
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                str(1024 * 1024))
+        else:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+            spark.conf.unset(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
     images = spark.read.parquet(os.path.join(bench_dir, "images.parquet"))
     images_hl = spark.read.parquet(
-        os.path.join(bench_dir, "images_hl.parquet"))
+        os.path.join(bench_dir, hl_name))
     nodes, ways, rels = load_osm(spark, bench_dir)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_images = images_hl.count()
@@ -159,12 +177,14 @@ def main():
     # assembly -> geometry WKB, fresh plan each run
     bench("q_buildings", lambda: get_buildings(nodes, ways, rels)
           .select("id", "osm_type", "geometry").count())
+    small_file_confs(True)
     n_lsh = bench("q_minhash_lsh", lambda: minhash_lsh_pairs(
         docs, n_blocks=4).count())
     n_ph = bench("q_phash_pairs", lambda: phash_pairs(
         images, n_blocks=8).count())
     n_dec = bench("q_decode_features", lambda: decode_features(
         images, sample_ratio=1.0).filter("ok").count())
+    small_file_confs(False)
 
     spatial_sec = timings["q_tile_assign"] + timings["q_pip_join"]
     total = round(sum(timings.values()), 3)

@@ -52,6 +52,12 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    # 16x headline table (32M rows at sf0.1): the scaling ratio is the
+    # statistic here, so the fixed per-query constant (~0.5-1.5 s of
+    # JVM/scan/Arrow stage setup) must be small next to the measured
+    # work — at the rule's 10^12-row regime it would be invisible
+    env.setdefault("SPARK_GRAFT_HL_FACTOR",
+                   os.environ.get("SCALE_HL_FACTOR", "16"))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, timeout=3600,
@@ -140,8 +146,18 @@ def main():
         "",
     ]
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve auxiliary sections other tools maintain (e.g. "## PBF
+    # ingest scaling" from pbf_scaling_bench.py): everything from the
+    # first second-level heading onward survives the rewrite
+    extra = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        cut = old.find("\n## ")
+        if cut != -1:
+            extra = old[cut:]
     with open(path, "w") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines) + extra)
     print(json.dumps({"eff_headline": round(eff, 3),
                       "eff_suite": round(suite_eff, 3),
                       "hardware_ceiling": round(ceiling, 3),
