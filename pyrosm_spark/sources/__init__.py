@@ -17,9 +17,10 @@ from pyrosm_spark.sources.pbf import (
     read_pbf,
     read_pbf_union,
     write_pbf,
+    write_pbf_sharded,
 )
 
 __all__ = [
     "read_table", "write_table", "iceberg_available",
-    "read_pbf", "read_pbf_union", "write_pbf",
+    "read_pbf", "read_pbf_union", "write_pbf", "write_pbf_sharded",
 ]

@@ -210,6 +210,13 @@ def test_crop_to_pbf_consistent(spark, synth_dir, tmp_path):
     assert w2.count() == manifest["ways"]
     assert r2.count() == manifest["relations"]
 
+    # empty crop -> header-only file, still valid and readable
+    out_empty = str(tmp_path / "empty.osm.pbf")
+    m2 = crop_to_pbf(nodes, ways, rels, (0.0, 0.0, 0.1, 0.1), out_empty)
+    assert m2["nodes"] == m2["ways"] == m2["relations"] == 0
+    ne, we, re_ = pbf.read_pbf(spark, out_empty)
+    assert ne.count() == 0 and we.count() == 0 and re_.count() == 0
+
 
 def test_history_roundtrip_osh_semantics(spark, synth_dir, tmp_path):
     """History (.osh-style) files: multiple versions per id with
@@ -255,6 +262,36 @@ def test_history_roundtrip_osh_semantics(spark, synth_dir, tmp_path):
     # trips a Catalyst binding bug in this Spark build)
     assert {tuple(r) for r in a.collect()} == {tuple(r)
                                                for r in b.collect()}
+
+
+def test_sharded_write_read_roundtrip(spark, synth_dir, tmp_path):
+    """write_pbf_sharded: executor-parallel shard files (own headers,
+    id-range partitioned) read back through read_pbf as a directory,
+    equal to the source frames."""
+    nodes, ways, rels = _quantized_world(spark, synth_dir)
+    out = str(tmp_path / "shards")
+    manifest = pbf.write_pbf_sharded(nodes, ways, rels, out,
+                                     block_size=300, partitions=4)
+    assert manifest["nodes"] == nodes.count()
+    assert manifest["ways"] == ways.count()
+    assert manifest["relations"] == rels.count()
+    assert manifest["files"] >= 6  # several shards per element type
+    files = sorted(os.listdir(out))
+    assert all(f.endswith(".osm.pbf") for f in files)
+    assert len(files) == manifest["files"]
+
+    n2, w2, r2 = pbf.read_pbf(spark, out)
+    _assert_frames_equal(nodes, n2.select(*nodes.columns), "nodes")
+    _assert_frames_equal(ways, w2.select(*ways.columns), "ways")
+    rj = rels.withColumn("members", F.to_json("members"))
+    r2j = r2.select(*rels.columns).withColumn(
+        "members", F.to_json("members"))
+    _assert_frames_equal(rj, r2j, "relations")
+
+    # every shard is standalone: the first node shard parses alone
+    one = os.path.join(out, [f for f in files if f.startswith("nodes")][0])
+    kinds = [t for t, _o, _l in pbf.iter_blob_index(one)]
+    assert kinds[0] == "OSMHeader" and "OSMData" in kinds
 
 
 def test_header_block_roundtrip(tmp_path):
