@@ -229,10 +229,13 @@ def _info_bytes(version, timestamp, changeset, visible) -> bytes:
 
 
 class _StringTable:
-    """Per-block string table; index 0 is the reserved empty string."""
+    """Per-block string table. Index 0 is RESERVED (the spec uses it as
+    the DenseNodes keys_vals delimiter), so no real key/value/role may
+    resolve to it — an empty string used as an actual value gets its
+    own fresh entry."""
 
     def __init__(self):
-        self._index = {"": 0}
+        self._index: dict = {}
         self._items = [""]
 
     def add(self, s: str) -> int:
@@ -619,7 +622,13 @@ def read_pbf_union(spark, path: str, partitions: int | None = None):
     discriminator; blob decode runs distributed over the driver-built
     blob index (one task range per blob). ``path`` may also be a
     directory of shard files (``write_pbf_sharded`` output — every
-    ``*.pbf`` inside is read)."""
+    ``*.pbf`` inside is read).
+
+    Cluster note: tasks open ``path`` directly, so on a real cluster it
+    must live on storage every executor mounts (NFS/fuse-mounted object
+    store) — the standard contract for any non-Hadoop file source. The
+    blob index itself reads only the ~20-byte headers (seek-skipping
+    payloads), so indexing a planet file is a few MB of driver I/O."""
     path = os.path.abspath(path)
     if os.path.isdir(path):
         import glob as _glob

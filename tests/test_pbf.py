@@ -67,6 +67,74 @@ def test_message_roundtrip():
     assert int(pbf._first(fields, 17)) == 100
 
 
+_tag_strategy = st.dictionaries(
+    st.text(min_size=1, max_size=12),
+    st.text(max_size=20),
+    max_size=4,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**40), max_value=2**40),  # id
+        st.floats(min_value=-180, max_value=180, allow_nan=False),
+        st.floats(min_value=-85, max_value=85, allow_nan=False),
+        _tag_strategy,
+    ),
+    min_size=1, max_size=30, unique_by=lambda t: t[0]))
+def test_dense_nodes_block_roundtrip_property(rows):
+    """encode_dense_nodes_block/decode_primitive_block inverse on
+    arbitrary ids (incl. negative), world-extent coords (1e-7 wire
+    precision), and unicode tag dicts."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "id": [r[0] for r in rows],
+        "lon": [r[1] for r in rows],
+        "lat": [r[2] for r in rows],
+        "tags": [r[3] for r in rows],
+        "version": [1] * len(rows),
+        "changeset": [7] * len(rows),
+        "timestamp": [1_600_000_000 + i for i in range(len(rows))],
+        "visible": [True] * len(rows),
+    })
+    out = pbf.decode_primitive_block(pbf.encode_dense_nodes_block(pdf))
+    dec = out["nodes"]
+    assert dec["id"].tolist() == pdf["id"].tolist()
+    assert np.allclose(dec["lon"], pdf["lon"], atol=5.1e-8)
+    assert np.allclose(dec["lat"], pdf["lat"], atol=5.1e-8)
+    assert dec["tags"].tolist() == pdf["tags"].tolist()
+    assert dec["timestamp"].tolist() == pdf["timestamp"].tolist()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2**40),
+        st.lists(st.integers(min_value=-(2**40), max_value=2**40),
+                 max_size=8),
+        _tag_strategy,
+    ),
+    min_size=1, max_size=20, unique_by=lambda t: t[0]))
+def test_ways_block_roundtrip_property(rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "id": [r[0] for r in rows],
+        "refs": [r[1] for r in rows],
+        "tags": [r[2] for r in rows],
+        "version": [2] * len(rows),
+        "changeset": [1] * len(rows),
+        "timestamp": [0] * len(rows),
+        "visible": [True] * len(rows),
+    })
+    dec = pbf.decode_primitive_block(pbf.encode_ways_block(pdf))["ways"]
+    assert dec["id"].tolist() == pdf["id"].tolist()
+    assert [list(r) for r in dec["refs"]] == pdf["refs"].tolist()
+    assert dec["tags"].tolist() == pdf["tags"].tolist()
+
+
 # -- golden fixtures (reference's own public test data) --------------------
 
 @needs_fixture
