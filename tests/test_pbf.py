@@ -135,6 +135,91 @@ def test_ways_block_roundtrip_property(rows):
     assert dec["tags"].tolist() == pdf["tags"].tolist()
 
 
+@settings(max_examples=50, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2**40),
+        st.lists(st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.sampled_from(["node", "way", "relation"]),
+            st.text(max_size=8),
+        ), max_size=5),
+        _tag_strategy,
+    ),
+    min_size=1, max_size=15, unique_by=lambda t: t[0]))
+def test_relations_block_roundtrip_property(rows):
+    """Relation members (delta-coded ids incl. negative, enum types,
+    roles incl. empty/unicode through the string table) roundtrip."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "id": [r[0] for r in rows],
+        "members": [[{"member_id": m[0], "member_type": m[1],
+                      "member_role": m[2]} for m in r[1]]
+                    for r in rows],
+        "tags": [r[2] for r in rows],
+        "version": [1] * len(rows),
+        "changeset": [0] * len(rows),
+        "timestamp": [0] * len(rows),
+        "visible": [True] * len(rows),
+    })
+    dec = pbf.decode_primitive_block(
+        pbf.encode_relations_block(pdf))["relations"]
+    assert dec["id"].tolist() == pdf["id"].tolist()
+    assert dec["tags"].tolist() == pdf["tags"].tolist()
+    got = [[(m["member_id"], m["member_type"], m["member_role"])
+            for m in ms] for ms in dec["members"]]
+    exp = [[(m["member_id"], m["member_type"], m["member_role"])
+            for m in ms] for ms in pdf["members"]]
+    assert got == exp
+
+
+def test_decoder_honors_granularity_and_offsets():
+    """Spec fields 17/19/20: non-default granularity and lat/lon
+    offsets (our writer never emits them, other tools do)."""
+    ids = pbf._packed(1, pbf._delta_zz([7]))
+    lats = pbf._packed(8, pbf._delta_zz([123]))
+    lons = pbf._packed(9, pbf._delta_zz([456]))
+    dense = ids + lats + lons
+    st_ = pbf._StringTable()
+    payload = (
+        pbf._len_field(1, st_.encode())
+        + pbf._len_field(2, pbf._len_field(2, dense))
+        + pbf._varint_field(17, 1000)       # granularity 1e-6 deg
+        + pbf._varint_field(19, 50_000_000)  # lat_offset nanodeg
+        + pbf._varint_field(20, 20_000_000)  # lon_offset nanodeg
+    )
+    dec = pbf.decode_primitive_block(payload)["nodes"]
+    assert dec["id"].tolist() == [7]
+    assert abs(dec["lat"][0] - (50_000_000 + 1000 * 123) / 1e9) < 1e-12
+    assert abs(dec["lon"][0] - (20_000_000 + 1000 * 456) / 1e9) < 1e-12
+
+
+def test_decoder_plain_nodes():
+    """Non-dense Node messages (sint64 id/lat/lon, separate key/val
+    arrays) — the legacy group layout some writers still emit."""
+    st_ = pbf._StringTable()
+    k = st_.add("highway")
+    v = st_.add("stop")
+    node = (
+        pbf._varint_field(1, int(pbf.zigzag_encode(np.int64(-42))))
+        + pbf._packed(2, np.asarray([k], dtype=np.uint64))
+        + pbf._packed(3, np.asarray([v], dtype=np.uint64))
+        + pbf._varint_field(8, int(pbf.zigzag_encode(
+            np.int64(601_000_000))))
+        + pbf._varint_field(9, int(pbf.zigzag_encode(
+            np.int64(-249_000_000))))
+    )
+    payload = (pbf._len_field(1, st_.encode())
+               + pbf._len_field(2, pbf._len_field(1, node)))
+    dec = pbf.decode_primitive_block(payload)["nodes"]
+    assert dec["id"].tolist() == [-42]
+    # plain nodes use granularity units exactly like dense ones
+    assert abs(dec["lat"][0] - 60.1) < 1e-12
+    assert abs(dec["lon"][0] - (-24.9)) < 1e-12
+    assert dec["tags"][0] == {"highway": "stop"}
+
+
 # -- golden fixtures (reference's own public test data) --------------------
 
 @needs_fixture
