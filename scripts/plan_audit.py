@@ -117,9 +117,13 @@ def main():
     from pyrosm_spark.operators.dedup import phash_pairs
     img_df = spark.read.parquet(os.path.join(em.SYNTH_DIR,
                                              "images.parquet"))
-    p = plan_of(phash_pairs(img_df, n_blocks=8))
-    check("phash_pairs: self-join is ShuffledHashJoin",
+    p = plan_of(phash_pairs(img_df, n_blocks=8, strategy="join"))
+    check("phash_pairs(join): self-join is ShuffledHashJoin",
           "ShuffledHashJoin" in p)
+    p = plan_of(phash_pairs(img_df, n_blocks=8, strategy="grouped"))
+    check("phash_pairs(grouped): bucket eval via grouped Arrow, "
+          "no join of candidates",
+          "FlatMapGroupsInPandas" in p and "NestedLoop" not in p)
     print(f"\n{'ALL OK' if not FAILS else f'{len(FAILS)} FAILURES: {FAILS}'}")
     sys.exit(1 if FAILS else 0)
 

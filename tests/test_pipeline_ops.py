@@ -254,6 +254,16 @@ def test_blocked_self_join_equals_plain(spark, docs, synth_dir):
     p2 = {(r["img_a"], r["img_b"], r["hamming"]) for r in
           D.phash_pairs(images, max_hamming=4, n_blocks=8).collect()}
     assert p1 == p2 and len(p1) > 0
+    # strategy differential: grouped numpy eval == native join, both
+    # with the hot-bucket path forced (threshold below synth bucket
+    # sizes) and without
+    p3 = {(r["img_a"], r["img_b"], r["hamming"]) for r in
+          D.phash_pairs(images, max_hamming=4, n_blocks=8,
+                        strategy="join").collect()}
+    p4 = {(r["img_a"], r["img_b"], r["hamming"]) for r in
+          D.phash_pairs_grouped(images, max_hamming=4, n_blocks=4,
+                                hot_threshold=20).collect()}
+    assert p1 == p3 == p4
 
 
 def test_audio_features_invariants(spark, tmp_path_factory):
