@@ -147,6 +147,153 @@ def point_in_wkb_polygon(lon: pd.Series, lat: pd.Series,
     return pd.Series(out)
 
 
+def compact_cover(cover: DataFrame, key_cols=("poly_id",),
+                  cell_col: str = "cell",
+                  min_res: int = 0) -> DataFrame:
+    """Distributed H3-style 'compact': within each feature's cover, any
+    complete group of 4 sibling cells collapses to its parent,
+    recursively — the mixed-resolution cover that makes LARGE-polygon
+    joins tractable (an admin boundary covering 10^5 fine cells
+    compacts to a few hundred mixed-res cells; the reference has no
+    counterpart — this is the scale layer the north rule names).
+
+    Pure joins/groupBys: one bounded pass per resolution level, each a
+    groupBy on (keys, parent) — no driver data movement; levels with no
+    complete sibling group exit the loop early (one metadata-cheap
+    count on a frame already shrunk to candidate parents). Input rows
+    must be distinct (feature, cell) pairs; extra columns are dropped
+    (re-join payloads by key afterwards — compaction rewrites the cell
+    set, so per-cell payloads have no meaning on parents).
+    """
+    keys = list(key_cols)
+    df = cover.select(*keys, cell_col).distinct()
+    # only levels actually PRESENT are worth a pass (a uniform cover
+    # with no full sibling group costs exactly one groupBy job, not
+    # one per resolution); a successful compaction at level r
+    # introduces level r-1, which joins the worklist. The distinct-res
+    # collect is <= 30 rows — metadata, not data.
+    levels = {
+        int(r[0]) for r in df.select(
+            tiles.cell_res(F.col(cell_col)).alias("r")).distinct().collect()
+        if r[0] is not None
+    }
+    while levels:
+        r = max(levels)
+        levels.discard(r)
+        if r <= min_res:
+            break
+        at_r = df.filter(tiles.cell_res(F.col(cell_col)) == r)
+        parent = tiles.cell_parent(F.col(cell_col), r - 1, r)
+        full = (
+            at_r.groupBy(*keys, parent.alias("_parent"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") == 4)
+            .select(*keys, "_parent")
+            .localCheckpoint()  # reused twice below + loop-carried
+        )
+        if full.limit(1).count() == 0:
+            continue
+        removed = df.withColumn("_parent", F.when(
+            tiles.cell_res(F.col(cell_col)) == r, parent)
+        ).join(full, [*keys, "_parent"], "left_anti").drop("_parent")
+        df = removed.unionByName(
+            full.select(*keys, F.col("_parent").alias(cell_col))
+        ).localCheckpoint()
+        levels.add(r - 1)
+    return df
+
+
+def uncompact_cover(cover: DataFrame, res: int,
+                    cell_col: str = "cell") -> DataFrame:
+    """Inverse of :func:`compact_cover`: expand every cell to its
+    descendants at uniform ``res``. Fully native (sequence/transform
+    over the 2^shift x 2^shift child block — no UDF); a row already at
+    ``res`` passes through, a row FINER than ``res`` raises (the same
+    contract as tiles.uncompact_py)."""
+    r = tiles.cell_res(F.col(cell_col))
+    shift = F.lit(res) - r
+    guard = F.when(
+        shift < 0,
+        F.raise_error(F.lit(
+            f"uncompact_cover: input cell finer than res={res}")),
+    ).otherwise(shift)
+    mult = F.pow(F.lit(2.0), guard).cast("long")
+    x, y = tiles.cell_xy(F.col(cell_col))
+    bx, by = x * mult, y * mult
+    base = F.lit(res << _RES_SHIFT).cast("long")
+    children = F.flatten(F.transform(
+        F.sequence(F.lit(0).cast("long"), mult - 1),
+        lambda dx: F.transform(
+            F.sequence(F.lit(0).cast("long"), mult - 1),
+            lambda dy: base + F.shiftleft(bx + dx, _X_SHIFT) + by + dy,
+        ),
+    ))
+    return cover.withColumn(cell_col, F.explode(children))
+
+
+def point_in_polygon_join_compact(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 15,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_cols=("id", "osm_type"),
+    broadcast_polygons: bool | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """:func:`point_in_polygon_join` for LARGE polygons: the cover is
+    compacted to mixed resolutions, and points join by computing their
+    ancestor cell at each resolution present in the compacted cover
+    (<= 30 levels; in practice 2-5), exploding a tiny per-point
+    ancestor array instead of replicating the polygon side 4^k-fold.
+
+    Same candidate set, same exact Arrow refine, same output columns as
+    the uniform-res join — differential-tested equal. Use when polygon
+    extents span many cells at ``res`` (admin boundaries, landuse); the
+    uniform-res join stays preferable for building-scale features whose
+    covers are a handful of cells."""
+    keys = [c for c in id_cols if c in polygons.columns]
+    if not keys:
+        raise ValueError(
+            f"id_cols {id_cols} not found in polygons {polygons.columns}")
+    if "bbox" not in polygons.columns:
+        polygons = polygons.withColumn("bbox", wkb_bbox(F.col("geometry")))
+    cover = polygons.select(*keys, "bbox").withColumn(
+        "cell", F.explode(cover_cells_expr("bbox", res)))
+    compacted = compact_cover(cover, key_cols=keys)
+    levels = sorted(
+        r[0] for r in compacted.select(
+            tiles.cell_res(F.col("cell")).alias("r")).distinct().collect()
+    )  # bounded by MAX_RES+1 = 30 rows: metadata, not data
+    pts = points.withColumn(
+        "cell",
+        F.explode(F.array(*[
+            tiles.cell_id(F.col(lon_col), F.col(lat_col), r)
+            for r in levels
+        ])),
+    )
+    payload = polygons
+    for c in payload.columns:
+        if c not in keys and not c.startswith("poly_"):
+            payload = payload.withColumnRenamed(c, f"poly_{c}")
+    right = compacted.join(payload, keys, "inner")
+    for c in keys:
+        right = right.withColumnRenamed(c, f"poly_{c}")
+    if broadcast_polygons:
+        right = F.broadcast(right)
+    cand = pts.join(right, "cell", "inner")
+    cand = cand.filter(
+        F.col(lon_col).between(F.col("poly_bbox.xmin"),
+                               F.col("poly_bbox.xmax"))
+        & F.col(lat_col).between(F.col("poly_bbox.ymin"),
+                                 F.col("poly_bbox.ymax"))
+    )
+    return cand.filter(
+        point_in_wkb_polygon(F.col(lon_col), F.col(lat_col),
+                             F.col("poly_geometry"))
+    )
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polygons: DataFrame,

@@ -258,3 +258,94 @@ def test_knn_join_complete_escalates_sparse_points(spark):
     near_comp = sorted((r["neighbor_id"], r["knn_rank"])
                        for r in by_pid_c["near"])
     assert near_base == near_comp
+
+
+def test_compact_uncompact_match_driver_kernels(spark):
+    """Distributed compact_cover/uncompact_cover equal the driver-side
+    reference kernels (tiles.compact_py/uncompact_py) on covers with
+    partial and complete sibling groups."""
+    from pyrosm_spark.operators.spatial_join import (
+        compact_cover,
+        uncompact_cover,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for fid in range(6):
+        # a bbox cover at res 8: contiguous block -> many full sibling
+        # groups; jitter the extents so shapes differ per feature
+        x0, y0 = int(rng.integers(0, 200)), int(rng.integers(0, 200))
+        w, h = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+        cells = [
+            (8 << TT._RES_SHIFT) + (x << TT._X_SHIFT) + y
+            for x in range(x0, x0 + w)
+            for y in range(y0, y0 + h)
+        ]
+        cases.append((fid, cells))
+    rows = [(fid, c) for fid, cells in cases for c in cells]
+    df = spark.createDataFrame(rows, "fid long, cell long")
+
+    got = compact_cover(df, key_cols=("fid",))
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r["fid"], []).append(r["cell"])
+    for fid, cells in cases:
+        assert sorted(got_map[fid]) == TT.compact_py(cells), fid
+
+    # uncompact back to uniform res 8 reproduces the original cover
+    back = uncompact_cover(got, 8)
+    back_map = {}
+    for r in back.collect():
+        back_map.setdefault(r["fid"], []).append(r["cell"])
+    for fid, cells in cases:
+        assert sorted(back_map[fid]) == sorted(set(cells)), fid
+        assert sorted(back_map[fid]) == TT.uncompact_py(
+            got_map[fid], 8), fid
+
+
+def test_compact_cover_full_grid_collapses_to_single_parent(spark):
+    """A complete 4^k block compacts to exactly one ancestor cell."""
+    from pyrosm_spark.operators.spatial_join import compact_cover
+
+    res, k = 6, 3  # 8x8 block aligned at origin
+    n = 1 << k
+    rows = [(1, (res << TT._RES_SHIFT) + (x << TT._X_SHIFT) + y)
+            for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "fid long, cell long")
+    out = compact_cover(df, key_cols=("fid",)).collect()
+    assert len(out) == 1
+    assert TT.decode_py(out[0]["cell"]) == (res - k, 0, 0)
+
+
+def test_pip_compact_equals_uniform_join(spark, images, buildings):
+    """point_in_polygon_join_compact returns the identical
+    (image, polygon) pair set as the uniform-resolution join — on the
+    synth buildings AND on one deliberately large polygon whose cover
+    spans hundreds of fine cells (the case the compact path exists
+    for)."""
+    from pyrosm_spark.operators.spatial_join import (
+        point_in_polygon_join,
+        point_in_polygon_join_compact,
+    )
+
+    uni = point_in_polygon_join(images, buildings, res=15).select(
+        "image_id", "poly_id", "poly_osm_type")
+    cmp_ = point_in_polygon_join_compact(images, buildings, res=15).select(
+        "image_id", "poly_id", "poly_osm_type")
+    a = {tuple(r) for r in uni.collect()}
+    b = {tuple(r) for r in cmp_.collect()}
+    assert a == b and len(a) > 0
+
+    # large polygon: a rectangle spanning most of the synth world
+    big = G.wkb_polygon([np.array(
+        [[24.80, 60.15], [25.20, 60.15], [25.20, 60.45],
+         [24.80, 60.45], [24.80, 60.15]])])
+    polys = spark.createDataFrame(
+        [(999, "way", bytearray(big))], "id long, osm_type string, geometry binary")
+    uni2 = point_in_polygon_join(images, polys, res=12).select(
+        "image_id", "poly_id")
+    cmp2 = point_in_polygon_join_compact(images, polys, res=12).select(
+        "image_id", "poly_id")
+    s1 = {tuple(r) for r in uni2.collect()}
+    s2 = {tuple(r) for r in cmp2.collect()}
+    assert s1 == s2 and len(s1) > 0
