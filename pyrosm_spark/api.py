@@ -308,6 +308,30 @@ class OSM:
             return to_igraph(nodes, edges, **kw)
         return to_pandana(nodes, edges, **kw)
 
+    def write_pbf(self, data, output_path: str,
+                  subset_only: bool = False, now_ts: int = 0) -> str:
+        """pyrosm.py:1286-1355 ``write_pbf``: write the dataset this
+        instance holds back to a valid ``.osm.pbf``, applying tag
+        edits from ``data`` (a feature DataFrame, or a list of them —
+        matched by osm_type + id) and synthesizing NEW elements from
+        the geometry of unmatched rows (Point → node, LineString →
+        way, hole-less Polygon → closed way; negative ids).
+        ``subset_only=True`` writes only the matched elements plus
+        their reference closure. See ``sources/pbf_edit.py``."""
+        from pyrosm_spark.sources.pbf_edit import write_pbf_with_edits
+
+        if isinstance(data, (list, tuple)):
+            frames = list(data)
+            combined = frames[0]
+            for extra in frames[1:]:
+                combined = combined.unionByName(
+                    extra, allowMissingColumns=True)
+            data = combined
+        nodes, ways, rels = self._src()
+        write_pbf_with_edits(nodes, ways, rels, data, output_path,
+                             subset_only=subset_only, now_ts=now_ts)
+        return output_path
+
 
 class _Tags:
     """``osm.conf.tags`` — the reference's per-key candidate-column

@@ -178,6 +178,14 @@ def _first(msg_fields, field, default=None):
     return default
 
 
+def _sint64(v) -> int:
+    """Plain protobuf int64 varint -> signed: negatives arrive as
+    two's-complement uint64 (way/relation ids can be negative —
+    synthesized elements conventionally use negative ids)."""
+    v = int(v)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 # --------------------------------------------------------------------------
 # message building
 # --------------------------------------------------------------------------
@@ -551,7 +559,7 @@ def decode_primitive_block(payload: bytes) -> dict:
             refs = _undelta(zigzag_decode(
                 decode_uvarints(_first(f, 8, b""))))
             ver, ts, cs, vis = _info_from_msg(_first(f, 4), date_gran)
-            ways_rows.append((int(_first(f, 1, 0)), refs.tolist(),
+            ways_rows.append((_sint64(_first(f, 1, 0)), refs.tolist(),
                               _plain_tags(f, strings), ver, cs, ts, vis))
         for rmsg in _fields(g, 4):
             f = parse_message(rmsg)
@@ -566,7 +574,7 @@ def decode_primitive_block(payload: bytes) -> dict:
                 for m, t, r in zip(memids, types, roles)
             ]
             ver, ts, cs, vis = _info_from_msg(_first(f, 4), date_gran)
-            rel_rows.append((int(_first(f, 1, 0)), members,
+            rel_rows.append((_sint64(_first(f, 1, 0)), members,
                              _plain_tags(f, strings), ver, cs, ts, vis))
 
     if nodes_parts:

@@ -16,6 +16,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from pyrosm_spark.functions import geometry_np as G
 from pyrosm_spark.sources import pbf
 
 REF_TEST_PBF = "/root/reference/pyrosm/data/test.osm.pbf"
@@ -456,3 +457,180 @@ def test_header_block_roundtrip(tmp_path):
     bb = pbf.parse_message(pbf._first(fields, 1))
     left = int(pbf.zigzag_decode(np.uint64(int(pbf._first(bb, 1)))))
     assert left == 24_000_000_000
+
+
+# -- S11 edit write-back (pbf_edit) -----------------------------------------
+
+def _edit_base(spark, synth_dir):
+    from pyrosm_spark.operators.osm_source import load_osm
+
+    return load_osm(spark, synth_dir)
+
+
+def test_apply_feature_edits_updates_tags(spark, synth_dir):
+    """A frame row matched by (osm_type, id) REPLACES the element's
+    tags from the row's non-reserved columns (pbf_writer.py:179-200,
+    _row_tags); null/empty columns are skipped; duplicate edit rows
+    resolve last-wins."""
+    from pyrosm_spark.sources.pbf_edit import apply_feature_edits
+
+    nodes, ways, rels = _edit_base(spark, synth_dir)
+    wid = int(ways.select("id").first()["id"])
+    edit = spark.createDataFrame(
+        [(wid, "way", "30", "residential", None),
+         (wid, "way", "50", "residential", "")],  # last wins; ''=missing
+        "id long, osm_type string, maxspeed string, highway string, "
+        "name string")
+    _, w2, _ = apply_feature_edits(nodes, ways, rels, edit)
+    tags = w2.filter(F.col("id") == wid).select("tags").first()["tags"]
+    assert tags["maxspeed"] == "50"
+    assert tags["highway"] == "residential"
+    assert "name" not in tags  # empty string = missing (_is_missing)
+    # untouched elements keep their tags
+    other = w2.filter(F.col("id") != wid).filter(
+        F.col("tags").isNotNull()).count()
+    assert other > 0
+
+
+def test_apply_feature_edits_synthesizes_new_elements(spark, synth_dir):
+    """Rows with unknown ids synthesize new elements from geometry
+    (pbf_writer.py:281-348): Point->node, LineString->way, hole-less
+    Polygon->closed way; shared vertices dedupe to ONE node (1e-7
+    key); a tagged Point on a shared vertex attaches its tags; ids are
+    negative, unique, below the base minimum."""
+    from pyrosm_spark.sources.pbf_edit import apply_feature_edits
+
+    nodes, ways, rels = _edit_base(spark, synth_dir)
+    pt = G.wkb_point(25.0, 60.3)
+    ls = G.wkb_linestring(np.array(
+        [[25.0, 60.3], [25.01, 60.31], [25.02, 60.30]]))
+    pg = G.wkb_polygon([np.array(
+        [[25.1, 60.2], [25.11, 60.2], [25.11, 60.21], [25.1, 60.2]])])
+    new = spark.createDataFrame(
+        [(None, None, bytearray(pt), "cafe"),
+         (None, None, bytearray(ls), None),
+         (None, None, bytearray(pg), None)],
+        "id long, osm_type string, geometry binary, amenity string")
+    n2, w2, _ = apply_feature_edits(nodes, ways, rels, new)
+    sn = {r["id"]: r for r in n2.filter("id < 0").collect()}
+    sw = sorted(w2.filter("id < 0").collect(), key=lambda r: -r["id"])
+    # point shares the linestring's first vertex; polygon ring closes
+    # on itself -> 3 (ls) + 3 (pg) unique coords, point deduped in
+    assert len(sn) == 6
+    assert len(sw) == 2
+    assert all(i < 0 for i in sn)
+    # the linestring way's refs follow coordinate order and the shared
+    # vertex carries the point's tags
+    ls_way = next(w for w in sw if len(w["refs"]) == 3)
+    pg_way = next(w for w in sw if len(w["refs"]) == 4)
+    first_ref = ls_way["refs"][0]
+    assert dict(sn[first_ref]["tags"]) == {"amenity": "cafe"}
+    assert pg_way["refs"][0] == pg_way["refs"][-1]  # closed ring
+
+
+def test_apply_feature_edits_rejects_unsupported_geometry(spark,
+                                                          synth_dir):
+    from pyrosm_spark.sources.pbf_edit import apply_feature_edits
+
+    nodes, ways, rels = _edit_base(spark, synth_dir)
+    holed = G.wkb_polygon([
+        np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+                 dtype=float),
+        np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]],
+                 dtype=float),
+    ])
+    bad = spark.createDataFrame(
+        [(None, None, bytearray(holed))],
+        "id long, osm_type string, geometry binary")
+    with pytest.raises(ValueError, match="Polygon-with-holes"):
+        apply_feature_edits(nodes, ways, rels, bad)
+    out_of_range = spark.createDataFrame(
+        [(None, None, bytearray(G.wkb_point(200.0, 95.0)))],
+        "id long, osm_type string, geometry binary")
+    with pytest.raises(ValueError, match="EPSG:4326"):
+        apply_feature_edits(nodes, ways, rels, out_of_range)
+
+
+def test_write_pbf_with_edits_roundtrip_and_subset(spark, synth_dir,
+                                                   tmp_path):
+    """The written file is a valid PBF that reads back with the edits
+    applied and the synthesized elements present (negative way ids are
+    plain int64 varints — the signed-decode regression); subset_only
+    writes the matched elements plus their reference closure
+    (pbf_writer.py:202-248)."""
+    from pyrosm_spark.sources.pbf_edit import write_pbf_with_edits
+
+    nodes, ways, rels = _edit_base(spark, synth_dir)
+    ls = G.wkb_linestring(np.array(
+        [[25.0, 60.3], [25.01, 60.31], [25.02, 60.30]]))
+    data = spark.createDataFrame(
+        [(None, None, bytearray(ls), "path")],
+        "id long, osm_type string, geometry binary, highway string")
+    out = str(tmp_path / "edited.osm.pbf")
+    st = write_pbf_with_edits(nodes, ways, rels, data, out)
+    assert st["ways"] == ways.count() + 1
+    rn, rw, rr = pbf.read_pbf(spark, out)
+    neg = rw.filter("id < 0").collect()
+    assert len(neg) == 1 and neg[0]["id"] < 0
+    assert dict(neg[0]["tags"]) == {"highway": "path"}
+    assert rn.filter("id < 0").count() == 3
+
+    # subset_only: one relation -> its member ways -> their nodes
+    rid = int(rels.select("id").first()["id"])
+    sel = spark.createDataFrame(
+        [(rid, "relation", "yes")],
+        "id long, osm_type string, fixme string")
+    out2 = str(tmp_path / "subset.osm.pbf")
+    write_pbf_with_edits(nodes, ways, rels, sel, out2, subset_only=True)
+    sn, sw, sr = pbf.read_pbf(spark, out2)
+    assert sr.count() == 1
+    member_ways = {
+        m["member_id"]
+        for m in rels.filter(F.col("id") == rid)
+             .select(F.explode("members").alias("m")).select("m.*")
+             .collect()
+        if m["member_type"] == "way"
+    }
+    got_ways = {r["id"] for r in sw.select("id").collect()}
+    assert got_ways == member_ways
+    ref_nodes = {
+        n for r in ways.join(sw.select("id"), "id", "left_semi")
+                       .select("refs").collect()
+        for n in r["refs"]
+    }
+    present = {r["id"] for r in nodes.select("id").collect()}
+    got_nodes = {r["id"] for r in sn.select("id").collect()}
+    # only cache-present refs are written (pbf_writer.py:202-248 — a
+    # member absent from the cache has no record to emit); the synth
+    # world has deliberately gappy ways (J5), so the intersection is
+    # the correct expectation
+    assert got_nodes == ref_nodes & present
+    # the edited relation carries the new tag
+    assert sr.first()["tags"]["fixme"] == "yes"
+
+
+def test_osm_facade_write_pbf_headline_workflow(spark, synth_dir,
+                                                tmp_path):
+    """The reference's documented use (pyrosm.py:1306-1312): pull a
+    layer, edit a tag column, write back, re-read — the edited column
+    value wins over the stale entry in the frame's tags map."""
+    from pyrosm_spark.api import OSM
+
+    osm = OSM(spark, synth_dir)
+    w = osm._src()[1]
+    wid = int(w.select("id").first()["id"])
+    edit = (w.filter(F.col("id") == wid)
+            .select("id", "tags",
+                    F.lit("way").alias("osm_type"),
+                    F.lit("77").alias("maxspeed")))
+    out = str(tmp_path / "facade.osm.pbf")
+    assert osm.write_pbf(edit, out) == out
+    rn, rw, rr = pbf.read_pbf(spark, out)
+    tags = dict(rw.filter(F.col("id") == wid).first()["tags"])
+    assert tags["maxspeed"] == "77"
+    # the rest of the map survived the merge
+    orig = dict(w.filter(F.col("id") == wid).first()["tags"] or {})
+    for k, v in orig.items():
+        if k != "maxspeed":
+            assert tags.get(k) == v
+    assert rw.count() == w.count()
