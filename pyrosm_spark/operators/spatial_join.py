@@ -8,11 +8,14 @@ reference's only spatial ops are a bbox filter and a final sjoin
 
     points:   cell = cell_id(lon, lat, res)            [pure codegen]
     polygons: cover = bbox cells at res                [pure codegen]
-    join on cell -> exact refine (ray-cast pandas UDF) [Arrow batch]
+    join on cell -> exact ray-cast refine              [pure codegen]
 
-Everything before the refine is whole-stage-codegen arithmetic; the
-refine only sees candidate pairs (cover-pruned), so the Python cost is
-proportional to output size, not input size.
+The default refine is NATIVE: polygon WKB is decoded once per polygon
+into flat segment arrays (the only Arrow step, proportional to polygon
+count), and the per-candidate even-odd test is a Catalyst
+exists/aggregate expression — the millions-of-pairs hot path never
+leaves whole-stage codegen. ``refine="arrow"`` keeps the vectorized
+pandas-UDF refine as a differential cross-check.
 """
 
 from __future__ import annotations
@@ -147,6 +150,78 @@ def point_in_wkb_polygon(lon: pd.Series, lat: pd.Series,
     return pd.Series(out)
 
 
+_SEG = T.StructType([
+    T.StructField("x1", T.DoubleType()), T.StructField("y1", T.DoubleType()),
+    T.StructField("x2", T.DoubleType()), T.StructField("y2", T.DoubleType()),
+])
+
+
+@F.pandas_udf(T.ArrayType(T.ArrayType(_SEG)))
+def wkb_segment_sets(geometry: pd.Series) -> pd.Series:
+    """Polygon WKB -> per-part flat segment arrays, the JVM-side layout
+    for the NATIVE ray-cast refine. One element per polygon part (a
+    Polygon has one, a MultiPolygon one per member), each a flat array
+    of the part's edges across ALL its rings: even-odd parity of total
+    crossings over shell+hole segments equals the XOR of per-ring
+    parities, so holes need no separate structure. Runs once per
+    POLYGON row (thousands), not per candidate pair (millions) — the
+    only Python in the native-refine plan."""
+    out = []
+    for buf in geometry:
+        if buf is None:
+            out.append(None)
+            continue
+        gtype, payload = G.parse_wkb(bytes(buf))
+        if gtype == G.WKB_POLYGON:
+            ring_sets = [payload]
+        elif gtype == G.WKB_MULTIPOLYGON:
+            ring_sets = payload
+        else:
+            out.append(None)
+            continue
+        sets = []
+        for rings in ring_sets:
+            segs = []
+            for ring in rings:
+                ring = np.asarray(ring, dtype=np.float64)
+                if len(ring) < 2:
+                    continue
+                rx, ry = ring[:, 0], ring[:, 1]
+                if rx[0] == rx[-1] and ry[0] == ry[-1]:
+                    rx, ry = rx[:-1], ry[:-1]
+                nx, ny = np.roll(rx, -1), np.roll(ry, -1)
+                segs.extend(
+                    {"x1": float(a), "y1": float(b),
+                     "x2": float(c), "y2": float(d)}
+                    for a, b, c, d in zip(rx, ry, nx, ny))
+            sets.append(segs)
+        out.append(sets)
+    return pd.Series(out)
+
+
+def native_pip_predicate(lon_col: str, lat_col: str,
+                         segsets_col: str = "_segsets") -> F.Column:
+    """Exact even-odd ray cast as a pure Catalyst expression — the
+    whole-stage-codegen mirror of ``points_in_ring``/
+    ``points_in_polygon`` (same half-open convention:
+    ``(y1 > py) != (y2 > py)`` and ``px < x_cross``, same expression
+    order so float results are bit-identical). Inner CASE nesting
+    keeps the division un-evaluated unless the crossing band matches
+    (band match implies y1 != y2), so ANSI mode never sees /0."""
+    px, py = F.col(lon_col), F.col(lat_col)
+
+    def seg_crossing(acc, s):
+        band = (s.y1 > py) != (s.y2 > py)
+        xcross = (s.x2 - s.x1) * (py - s.y1) / (s.y2 - s.y1) + s.x1
+        return acc + F.when(
+            band, F.when(px < xcross, 1).otherwise(0)).otherwise(0)
+
+    return F.exists(
+        F.col(segsets_col),
+        lambda ss: F.aggregate(ss, F.lit(0), seg_crossing) % 2 == 1,
+    )
+
+
 def compact_cover(cover: DataFrame, key_cols=("poly_id",),
                   cell_col: str = "cell",
                   min_res: int = 0) -> DataFrame:
@@ -240,6 +315,7 @@ def point_in_polygon_join_compact(
     id_cols=("id", "osm_type"),
     broadcast_polygons: bool | None = None,
     how: str = "inner",
+    refine: str = "native",
 ) -> DataFrame:
     """:func:`point_in_polygon_join` for LARGE polygons: the cover is
     compacted to mixed resolutions, and points join by computing their
@@ -256,8 +332,13 @@ def point_in_polygon_join_compact(
     if not keys:
         raise ValueError(
             f"id_cols {id_cols} not found in polygons {polygons.columns}")
+    if refine not in ("native", "arrow"):
+        raise ValueError(f"unknown refine {refine!r}")
     if "bbox" not in polygons.columns:
         polygons = polygons.withColumn("bbox", wkb_bbox(F.col("geometry")))
+    if refine == "native":
+        polygons = polygons.withColumn(
+            "_segsets", wkb_segment_sets(F.col("geometry")))
     cover = polygons.select(*keys, "bbox").withColumn(
         "cell", F.explode(cover_cells_expr("bbox", res)))
     compacted = compact_cover(cover, key_cols=keys)
@@ -274,7 +355,7 @@ def point_in_polygon_join_compact(
     )
     payload = polygons
     for c in payload.columns:
-        if c not in keys and not c.startswith("poly_"):
+        if c not in keys and c != "_segsets" and not c.startswith("poly_"):
             payload = payload.withColumnRenamed(c, f"poly_{c}")
     right = compacted.join(payload, keys, "inner")
     for c in keys:
@@ -288,6 +369,9 @@ def point_in_polygon_join_compact(
         & F.col(lat_col).between(F.col("poly_bbox.ymin"),
                                  F.col("poly_bbox.ymax"))
     )
+    if refine == "native":
+        return cand.filter(
+            native_pip_predicate(lon_col, lat_col)).drop("_segsets")
     return cand.filter(
         point_in_wkb_polygon(F.col(lon_col), F.col(lat_col),
                              F.col("poly_geometry"))
@@ -303,6 +387,7 @@ def point_in_polygon_join(
     broadcast_polygons: bool | None = None,
     point_salt: int = 0,
     how: str = "inner",
+    refine: str = "native",
 ) -> DataFrame:
     """J10 at scale: points x polygon-features via cell equi-join + exact
     ray-cast refine.
@@ -313,12 +398,23 @@ def point_in_polygon_join(
       side is replicated salt-fold so one hot cell (a dense city tile)
       spreads over ``point_salt`` reducers — the explicit skew-handling
       path when AQE skew-join alone can't split a single key.
+    * ``refine`` — ``"native"`` (default) evaluates the exact ray cast
+      as a Catalyst expression over per-polygon segment arrays decoded
+      ONCE on the polygon side: the per-candidate hot path stays inside
+      whole-stage codegen with zero Python and no WKB bytes shipped per
+      pair. ``"arrow"`` keeps the vectorized pandas-UDF refine
+      (differential-tested equal; useful as a cross-check).
     """
+    if refine not in ("native", "arrow"):
+        raise ValueError(f"unknown refine {refine!r}")
     pts = assign_tiles(points, res, lon_col, lat_col)
+    if refine == "native":
+        polygons = polygons.withColumn(
+            "_segsets", wkb_segment_sets(F.col("geometry")))
     cover = polygon_cover(polygons, res)
     # deterministic output schema: every polygon-side column is poly_*
     for c in cover.columns:
-        if c != "cell" and not c.startswith("poly_"):
+        if c not in ("cell", "_segsets") and not c.startswith("poly_"):
             cover = cover.withColumnRenamed(c, f"poly_{c}")
 
     if point_salt and point_salt > 1:
@@ -343,9 +439,13 @@ def point_in_polygon_join(
         F.col(lon_col).between(F.col(f"{bbox}.xmin"), F.col(f"{bbox}.xmax"))
         & F.col(lat_col).between(F.col(f"{bbox}.ymin"), F.col(f"{bbox}.ymax"))
     )
-    refined = cand.filter(
-        point_in_wkb_polygon(F.col(lon_col), F.col(lat_col), F.col(geo))
-    )
+    if refine == "native":
+        refined = cand.filter(
+            native_pip_predicate(lon_col, lat_col)).drop("_segsets")
+    else:
+        refined = cand.filter(
+            point_in_wkb_polygon(F.col(lon_col), F.col(lat_col), F.col(geo))
+        )
     return refined.drop("_salt") if point_salt and point_salt > 1 else refined
 
 

@@ -79,15 +79,18 @@ def main():
     p = plan_of(qs["revenue_by_nation"](spark, sf))
     check("revenue_by_nation: BroadcastHashJoin", "BroadcastHashJoin" in p)
 
-    # 5. PIP join: exactly one Arrow node (the refine), join is hash join
+    # 5. PIP join: the refine is NATIVE (exists/aggregate ray cast in
+    # codegen) — no per-candidate Python; the only polygon-side Arrow
+    # step is the once-per-polygon segment decode. Join is hash join.
     j = qs["pip_exact_join"](spark, sf)
     p = plan_of(j)
-    # the pipeline legitimately holds several DIFFERENT Arrow UDFs
-    # (geometry construction, bbox, refine); the refine itself must
-    # appear exactly once
-    check("pip_exact: exactly one PIP refine UDF",
-          p.count("point_in_wkb_polygon") == 1,
+    check("pip_exact: no per-candidate Python refine",
+          "point_in_wkb_polygon" not in p,
           f"(arrow nodes total: {p.count('ArrowEvalPython')})")
+    check("pip_exact: native ray-cast refine present",
+          "exists" in p and "aggregate" in p)
+    check("pip_exact: one polygon-side segment decode",
+          p.count("wkb_segment_sets") == 1)
     check("pip_exact: hash join for cell equi-join",
           "HashJoin" in p)
 

@@ -349,3 +349,63 @@ def test_pip_compact_equals_uniform_join(spark, images, buildings):
     s1 = {tuple(r) for r in uni2.collect()}
     s2 = {tuple(r) for r in cmp2.collect()}
     assert s1 == s2 and len(s1) > 0
+
+
+def test_native_refine_equals_arrow_refine(spark, images, buildings):
+    """refine='native' (Catalyst exists/aggregate ray cast) must emit
+    the exact pair set of refine='arrow' (the numpy kernel) on the
+    synth world — same oracle-anchored semantics, zero Python in the
+    candidate hot path."""
+    from pyrosm_spark.operators.spatial_join import (
+        point_in_polygon_join_compact)
+
+    a = point_in_polygon_join(images, buildings, res=15, refine="arrow")
+    n = point_in_polygon_join(images, buildings, res=15, refine="native")
+    pa = {(r[0], r[1]) for r in a.select("image_id", "poly_id").collect()}
+    pn = {(r[0], r[1]) for r in n.select("image_id", "poly_id").collect()}
+    assert pa == pn and len(pn) > 0
+
+    ca = point_in_polygon_join_compact(images, buildings, res=15,
+                                       refine="arrow")
+    cn = point_in_polygon_join_compact(images, buildings, res=15,
+                                       refine="native")
+    sa = {(r[0], r[1]) for r in ca.select("image_id", "poly_id").collect()}
+    sn = {(r[0], r[1]) for r in cn.select("image_id", "poly_id").collect()}
+    assert sa == sn == pn
+
+    with pytest.raises(ValueError, match="unknown refine"):
+        point_in_polygon_join(images, buildings, refine="bogus")
+
+
+def test_native_refine_holes_and_multipolygon(spark):
+    """Adversarial geometries for the native ray cast: a square with a
+    hole (point in hole excluded, point in shell kept) and a
+    two-part multipolygon — native == arrow == numpy kernel."""
+    shell = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0],
+                      [0.0, 0.0]])
+    hole = np.array([[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0],
+                     [4.0, 4.0]])
+    part2 = np.array([[20.0, 20.0], [22.0, 20.0], [22.0, 22.0],
+                      [20.0, 22.0], [20.0, 20.0]])
+    donut = G.wkb_polygon([shell, hole])
+    multi = G.wkb_multipolygon([[shell, hole], [part2]])
+    polys = spark.createDataFrame(
+        [(1, "way", bytearray(donut)), (2, "relation", bytearray(multi))],
+        "poly_id long, osm_type string, geometry binary")
+    pts = spark.createDataFrame(
+        [("in_shell", 2.0, 2.0), ("in_hole", 5.0, 5.0),
+         ("outside", 15.0, 15.0), ("in_part2", 21.0, 21.0),
+         ("near_edge", 3.9999999, 5.0)],
+        "image_id string, lon double, lat double")
+    expect = {("in_shell", 1), ("in_shell", 2), ("in_part2", 2),
+              ("near_edge", 1), ("near_edge", 2)}
+    for refine in ("native", "arrow"):
+        got = {(r[0], r[1]) for r in point_in_polygon_join(
+            pts, polys, res=8, refine=refine)
+            .select("image_id", "poly_id").collect()}
+        assert got == expect, refine
+    # numpy kernel agreement on the same points
+    px = np.array([2.0, 5.0, 15.0, 21.0, 3.9999999])
+    py = np.array([2.0, 5.0, 15.0, 21.0, 5.0])
+    k_donut = G.points_in_polygon(px, py, [shell, hole])
+    assert list(k_donut) == [True, False, False, False, True]
