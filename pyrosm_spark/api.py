@@ -332,6 +332,79 @@ class OSM:
                              subset_only=subset_only, now_ts=now_ts)
         return output_path
 
+    def to_pbf(self, output_path: str | None = None,
+               keep_relations: bool = True, workers: int | None = None,
+               compact: bool = False, repack: bool = False) -> str:
+        """pyrosm.py:1208-1285 ``to_pbf``: crop this instance's world
+        by its ``bounding_box`` (complete-ways semantics — a way with
+        >=1 in-box node keeps its FULL node list) and write a valid,
+        re-readable ``.osm.pbf``. ``keep_relations=False`` drops crop
+        stage 3. Returns the written path (a temp file when
+        ``output_path`` is None, like the reference).
+
+        ``workers``/``compact``/``repack`` are accepted for signature
+        parity: the distributed writer always encodes blocks in
+        parallel across Spark tasks (``workers`` has no separate
+        meaning) and always emits canonical densely packed blocks with
+        minimal string tables — the reference's ``repack=True`` best
+        case — so ``compact``/``repack`` change nothing here."""
+        import tempfile
+
+        from pyrosm_spark.operators.crop import crop_tables
+        from pyrosm_spark.sources.pbf import write_pbf
+
+        if self.bounding_box is None:
+            raise ValueError(
+                "Cropping a PBF requires a bounding box. Construct the "
+                "OSM object with a `bounding_box=...` before calling "
+                "`to_pbf()`.")
+        if output_path is None:
+            import os
+
+            fd, output_path = tempfile.mkstemp(suffix=".osm.pbf",
+                                               prefix="pyrosm_spark_crop_")
+            os.close(fd)
+        nodes, ways, rels = self._src()
+        n, w, r = crop_tables(nodes, ways, rels, tuple(self.bounding_box))
+        if not keep_relations:
+            r = r.limit(0)
+        write_pbf(n, w, r, output_path)
+        return output_path
+
+    # -- cache / downloads management (pyrosm.py:1542-1617) ---------------
+
+    @staticmethod
+    def list_cache(root: str | None = None) -> list:
+        """Materialized checkpoint-stage directories (the engine's
+        result cache; reference ``OSM.list_cache``)."""
+        from pyrosm_spark.plans.checkpoint import list_cache_files
+
+        return list_cache_files(root)
+
+    @staticmethod
+    def clear_cache(root: str | None = None) -> int:
+        """Remove checkpoint-stage directories; returns count
+        (reference ``OSM.clear_cache``)."""
+        from pyrosm_spark.plans import checkpoint
+
+        return checkpoint.clear_cache(root)
+
+    @staticmethod
+    def list_downloads() -> list:
+        """Files materialized by ``pyrosm_spark.data.get_data``
+        (reference ``OSM.list_downloads``)."""
+        from pyrosm_spark.data import list_downloads
+
+        return list_downloads()
+
+    @staticmethod
+    def clear_downloads(filepath: str | None = None) -> int:
+        """Remove ``get_data``-materialized files; returns count
+        (reference ``OSM.clear_downloads``)."""
+        from pyrosm_spark.data import clear_downloads
+
+        return clear_downloads(filepath)
+
 
 class _Tags:
     """``osm.conf.tags`` — the reference's per-key candidate-column

@@ -28,7 +28,8 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["available", "get_data", "get_path"]
+__all__ = ["available", "get_data", "get_path", "list_downloads",
+           "clear_downloads"]
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -109,3 +110,27 @@ def get_path(dataset: str) -> str:
     """Reference ``get_path``: bundled files only, no materialize-if-
     missing side effects beyond the deterministic generators."""
     return get_data(dataset)
+
+
+def list_downloads() -> list:
+    """Materialized dataset files ``get_data`` has produced (reference
+    ``list_downloads``, utils/download.py — there over the download
+    dir; here over the deterministic materializations, which play the
+    same role: regenerable artifacts fetched on demand)."""
+    path = os.path.join(_SYNTH_DIR, "world.osm.pbf")
+    return [path] if os.path.exists(path) else []
+
+
+def clear_downloads(filepath: str | None = None) -> int:
+    """Remove ``get_data``-materialized files (reference
+    ``clear_downloads``). The parquet element tables are the engine's
+    bundled inputs and are left untouched, exactly as the reference
+    leaves its bundled package datasets. Returns files removed."""
+    removed = 0
+    for p in list_downloads():
+        if filepath is not None and os.path.basename(p) != os.path.basename(
+                str(filepath)) and p != str(filepath):
+            continue
+        os.remove(p)
+        removed += 1
+    return removed

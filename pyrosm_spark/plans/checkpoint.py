@@ -31,6 +31,41 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "_manifest.json"  # leading underscore: ignored by Spark readers
 
 
+def default_cache_root() -> str:
+    """The engine's default checkpoint/cache directory — the analogue
+    of the reference's ``<tempdir>/pyrosm/cache`` (engine/cache.py:20).
+    Overridable via ``PYROSM_SPARK_CACHE_DIR``."""
+    import tempfile
+
+    return os.environ.get(
+        "PYROSM_SPARK_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "pyrosm_spark", "cache"))
+
+
+def list_cache_files(root: str | None = None) -> list:
+    """Stage directories currently materialized under ``root``
+    (reference ``cache.list_files``, engine/cache.py): every directory
+    holding a valid manifest, sorted."""
+    root = root or default_cache_root()
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        d = os.path.join(root, name)
+        if os.path.isdir(d) and os.path.exists(os.path.join(d, MANIFEST)):
+            out.append(d)
+    return out
+
+
+def clear_cache(root: str | None = None) -> int:
+    """Remove materialized stage directories (reference
+    ``cache.clear``). Returns the number of stage dirs removed."""
+    dirs = list_cache_files(root)
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return len(dirs)
+
+
 def file_fingerprint(path: str) -> dict:
     """Source-identity fingerprint (cache.py:46-63 key components)."""
     if os.path.isdir(path):
@@ -91,9 +126,10 @@ class CheckpointManager:
     the affected stages.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str | None = None):
         self.spark = spark
-        self.root = root
+        self.root = root or default_cache_root()
+        root = self.root
         os.makedirs(root, exist_ok=True)
         self.executed: list = []   # stage names actually run this session
         self.skipped: list = []    # stages resumed from checkpoint
