@@ -65,6 +65,7 @@ def main(sf_dir: str):
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             failures.append(name)
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
             print(f"ROWS  {name}: {len(got)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
@@ -108,7 +109,8 @@ def main(sf_dir: str):
             failures.append(name)
         else:
             print(f"OK    {name}: {len(g)} rows match "
-                  f"[{time.time()-t0:.1f}s]")
+                  f"[{time.time()-t0:.1f}s = spark {t_spark:.1f} "
+                  f"+ oracle {time.time()-t0-t_spark:.1f}]")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass "
           f"({len(oracles)} with oracles)")

@@ -87,9 +87,19 @@ def main():
     low = int(os.environ.get("SCALE_N", "2"))
     reps = int(os.environ.get("SCALE_REPS", "2"))
     high = 4 * low
-    ceiling = hardware_ceiling(low, high)
-    r_low = best_of([run_bench(low, sf_dir) for _ in range(reps)])
-    r_high = best_of([run_bench(high, sf_dir) for _ in range(reps)])
+    ceiling_before = hardware_ceiling(low, high)
+    # INTERLEAVE the levels (low, high, low, high, ...): ambient host
+    # drift between an all-low phase and an all-high phase would bias
+    # the ratio itself; alternating exposes both levels to the same
+    # contention profile, and per-level minima then reject the noise
+    runs_low, runs_high = [], []
+    for _ in range(reps):
+        runs_low.append(run_bench(low, sf_dir))
+        runs_high.append(run_bench(high, sf_dir))
+    ceiling_after = hardware_ceiling(low, high)
+    r_low = best_of(runs_low)
+    r_high = best_of(runs_high)
+    ceiling = max(ceiling_before, ceiling_after)
 
     thr_low, thr_high = r_low["value"], r_high["value"]
     eff = (thr_high / thr_low) / (high / low)
@@ -108,9 +118,11 @@ def main():
         f"Hardware note: this sandbox exposes 32 SMT threads over ~16 "
         f"physical cores (a raw-CPU probe measured 8->32 process scaling "
         f"at ~0.5, so that pair can't demonstrate software scaling); the "
-        f"levels here stay inside the physical-core budget. The same "
-        f"probe's {low}->{high} reference ratio on this run: "
-        f"**{ceiling:.2f}**.",
+        f"levels here stay inside the physical-core budget. Levels are "
+        f"INTERLEAVED (low, high, low, high, ...) so ambient drift hits "
+        f"both equally. The probe's {low}->{high} reference ratio "
+        f"bracketing this run: **{ceiling:.2f}** "
+        f"(before {ceiling_before:.2f} / after {ceiling_after:.2f}).",
         "",
         "| parallelism | headline rows/sec | suite wall (s) |",
         "|---|---|---|",
