@@ -131,7 +131,7 @@ def main():
     # warmup: exercise scan + shuffle + Arrow paths once so the first
     # timed query doesn't pay JVM/JIT/Python-worker startup
     assign_tiles(images_hl, 12).groupBy("cell").count().count()
-    point_in_polygon_join(images_hl.limit(20_000), polygons, res=15).count()
+    point_in_polygon_join(images_hl.limit(20_000), polygons, res=17).count()
 
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     timings: dict = {}
@@ -158,8 +158,12 @@ def main():
     # headline components (4x geometry-only table) -----------------------
     n_tiles = bench("q_tile_assign", lambda: (
         assign_tiles(images_hl, 15).groupBy("cell").count().count()))
+    # res 17 (~300 m cells): measured optimum for building-scale
+    # polygons at this density — candidates drop 64.9M -> 7.5M vs
+    # res 15 with only 2x the (broadcast) cover; res 18 doubles the
+    # cover again for flat returns. Output is res-invariant.
     n_pip = bench("q_pip_join", lambda: point_in_polygon_join(
-        images_hl, polygons, res=15).count())
+        images_hl, polygons, res=17).count())
     # kNN over POI nodes
     pois = nodes.filter(F.map_contains_key("tags", "amenity")).select(
         "id", "lon", "lat")
