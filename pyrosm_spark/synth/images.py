@@ -77,68 +77,80 @@ def generate_images_table(
     """Write the images parquet; rows where ``i % bytes_every != 0`` carry
     NULL bytes (metadata-only rows) so bench-scale tables stay small while
     the decode path still has real payloads to chew on."""
+    # coordinate/size arrays are seeded over the WHOLE table (chunked
+    # rng draws would change the stream, breaking determinism vs the
+    # committed tables); they cost 8 bytes/row — the scalable part
     lon, lat = _coords(n_rows, seed, hot_frac, n_hot)
     rng = np.random.default_rng(seed + 7)
     widths = rng.choice([16, 24, 32], n_rows).astype(np.int32)
     heights = rng.choice([16, 24], n_rows).astype(np.int32)
     fmts = np.where(np.arange(n_rows) % 3 == 0, "qimg", "png")
 
-    image_ids = [f"img{i:09d}" for i in range(n_rows)]
-    captions = [_caption(i) for i in range(n_rows)]
+    def chunk_table(i0: int, i1: int) -> pa.Table:
+        """Rows [i0, i1) — strings/blobs are pure functions of the row
+        index, so per-chunk materialization is byte-identical to the
+        old whole-table build while bounding generator memory by the
+        chunk size, not the table size (128M-row tables previously
+        held ~25 GB of Python strings at once)."""
+        image_ids = [f"img{i:09d}" for i in range(i0, i1)]
+        captions = [_caption(i) for i in range(i0, i1)]
+        blobs: list = []
+        phashes = np.zeros(i1 - i0, dtype=np.int64)
+        for i in range(i0, i1):
+            if i % bytes_every != 0:
+                # metadata-only row: no payload, but phash must still
+                # be a realistic distinct value — a constant would
+                # create one giant hamming-band bucket (quadratic
+                # blowup in phash_pairs; found the hard way at scale)
+                h = int.from_bytes(
+                    hashlib.md5(image_ids[i - i0].encode()).digest()[:8],
+                    "big")
+                phashes[i - i0] = h - (1 << 64) if h >= 1 << 63 else h
+                blobs.append(None)
+                continue
+            px = synth_pixels(seed * 1_000_003 + i,
+                              int(widths[i]), int(heights[i]))
+            if fmts[i] == "qimg":
+                blob = encode_qimg(px)
+                # phash contract: hash of the DECODED pixels
+                # (FIXTURES.md §1) — for lossy rows that is the
+                # dequantized image, not the source.
+                phashes[i - i0] = phash64(decode_qimg(blob))
+            else:
+                blob = encode_png(px)
+                phashes[i - i0] = phash64(px)  # lossless: decode == src
+            blobs.append(blob)
+        return pa.table(
+            {
+                "image_id": pa.array(image_ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "w": pa.array(widths[i0:i1], pa.int32()),
+                "h": pa.array(heights[i0:i1], pa.int32()),
+                "fmt": pa.array(fmts[i0:i1].tolist(), pa.string()),
+                "caption": pa.array(captions, pa.string()),
+                "phash": pa.array(phashes, pa.int64()),
+                "lon": pa.array(lon[i0:i1], pa.float64()),
+                "lat": pa.array(lat[i0:i1], pa.float64()),
+            }
+        )
 
-    blobs: list = []
-    phashes = np.zeros(n_rows, dtype=np.int64)
-    for i in range(n_rows):
-        if i % bytes_every != 0:
-            # metadata-only row: no payload, but phash must still be a
-            # realistic distinct value — a constant placeholder would
-            # create one giant hamming-band bucket (quadratic blowup in
-            # phash_pairs; found the hard way at bench scale)
-            h = int.from_bytes(
-                hashlib.md5(image_ids[i].encode()).digest()[:8], "big"
-            )
-            phashes[i] = h - (1 << 64) if h >= 1 << 63 else h
-            blobs.append(None)
-            continue
-        px = synth_pixels(seed * 1_000_003 + i, int(widths[i]), int(heights[i]))
-        if fmts[i] == "qimg":
-            blob = encode_qimg(px)
-            # phash contract: hash of the DECODED pixels (FIXTURES.md §1) —
-            # for lossy rows that is the dequantized image, not the source.
-            phashes[i] = phash64(decode_qimg(blob))
-        else:
-            blob = encode_png(px)
-            phashes[i] = phash64(px)  # lossless: decode == source
-        blobs.append(blob)
-
-    table = pa.table(
-        {
-            "image_id": pa.array(image_ids, pa.string()),
-            "bytes": pa.array(blobs, pa.binary()),
-            "w": pa.array(widths, pa.int32()),
-            "h": pa.array(heights, pa.int32()),
-            "fmt": pa.array(fmts.tolist(), pa.string()),
-            "caption": pa.array(captions, pa.string()),
-            "phash": pa.array(phashes, pa.int64()),
-            "lon": pa.array(lon, pa.float64()),
-            "lat": pa.array(lat, pa.float64()),
-        }
-    )
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     if rows_per_file and n_rows > rows_per_file:
         # multi-file layout: input splits for free (a single big file
-        # caps scan parallelism at its row-group granularity)
+        # caps scan parallelism at its row-group granularity); one
+        # chunk is built and written at a time
         if os.path.isfile(out_path):
             os.remove(out_path)
         os.makedirs(out_path, exist_ok=True)
         for i in range(0, n_rows, rows_per_file):
             pq.write_table(
-                table.slice(i, rows_per_file),
+                chunk_table(i, min(i + rows_per_file, n_rows)),
                 os.path.join(out_path, f"part-{i // rows_per_file:05d}.parquet"),
                 row_group_size=row_group_size,
             )
     else:
-        pq.write_table(table, out_path, row_group_size=row_group_size)
+        pq.write_table(chunk_table(0, n_rows), out_path,
+                       row_group_size=row_group_size)
     return out_path
 
 
