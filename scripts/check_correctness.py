@@ -43,6 +43,9 @@ def norm_rows(rows, cols):
 
 
 def main(sf_dir: str):
+    # scale-dependent oracles (IVF codebook re-derivation) must train
+    # on the same table the Spark query reads
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
     spark = get_spark("correctness", master="local[8]",
                       shuffle_partitions=16)
     con = duckdb.connect()
