@@ -77,21 +77,25 @@ def wkb_bbox(geometry: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
 
 
-def cover_cells_expr(bbox_col: str, res: int) -> F.Column:
-    """All cells at ``res`` intersecting a bbox struct — *native SQL*
-    polyfill: sequence() over the x/y index ranges, flattened. Keeps the
-    cover generation inside codegen; cover size is bounded by the
-    polygon extent (buildings at res 15-17 cover a handful of cells)."""
-    n = 1 << res
+def cover_cells_dyn_expr(bbox_col: str, res_col: F.Column) -> F.Column:
+    """All cells intersecting a bbox struct at a PER-ROW resolution —
+    *native SQL* polyfill: sequence() over the x/y index ranges,
+    flattened. Keeps cover generation inside codegen."""
     b = F.col(bbox_col)
+    r = res_col.cast("int")
+    # 2^r with a per-row r (shiftleft needs a literal bit count);
+    # exact in double for r <= 29
+    n = F.pow(F.lit(2.0), r.cast("double")).cast("long")
 
     def idx(coord, offset, extent):
-        v = F.floor((coord + F.lit(offset)) / F.lit(extent) * F.lit(float(n)))
-        return F.greatest(F.lit(0), F.least(F.lit(n - 1), v)).cast("long")
+        v = F.floor((coord + F.lit(offset)) / F.lit(extent)
+                    * n.cast("double"))
+        return F.greatest(F.lit(0).cast("long"),
+                          F.least(n - 1, v.cast("long")))
 
     x0, x1 = idx(b["xmin"], 180.0, 360.0), idx(b["xmax"], 180.0, 360.0)
     y0, y1 = idx(b["ymin"], 90.0, 180.0), idx(b["ymax"], 90.0, 180.0)
-    base = F.lit(res << _RES_SHIFT).cast("long")
+    base = F.shiftleft(r.cast("long"), _RES_SHIFT)
     return F.flatten(
         F.transform(
             F.sequence(x0, x1),
@@ -101,6 +105,13 @@ def cover_cells_expr(bbox_col: str, res: int) -> F.Column:
             ),
         )
     )
+
+
+def cover_cells_expr(bbox_col: str, res: int) -> F.Column:
+    """All cells at ``res`` intersecting a bbox struct (fixed-res form
+    of :func:`cover_cells_dyn_expr`); cover size is bounded by the
+    polygon extent (buildings at res 15-17 cover a handful of cells)."""
+    return cover_cells_dyn_expr(bbox_col, F.lit(res))
 
 
 def polygon_cover(polygons: DataFrame, res: int,
@@ -316,6 +327,7 @@ def point_in_polygon_join_compact(
     broadcast_polygons: bool | None = None,
     how: str = "inner",
     refine: str = "native",
+    max_cover_cells: int = 4096,
 ) -> DataFrame:
     """:func:`point_in_polygon_join` for LARGE polygons: the cover is
     compacted to mixed resolutions, and points join by computing their
@@ -323,8 +335,16 @@ def point_in_polygon_join_compact(
     (<= 30 levels; in practice 2-5), exploding a tiny per-point
     ancestor array instead of replicating the polygon side 4^k-fold.
 
-    Same candidate set, same exact Arrow refine, same output columns as
-    the uniform-res join — differential-tested equal. Use when polygon
+    The cover NEVER materializes uniformly: each polygon's resolution
+    is capped closed-form so its bbox cover stays under
+    ``max_cover_cells`` BEFORE the explode (a continent polygon at
+    res 15 would otherwise explode ~10^9 rows just to compact them
+    back). Coarser covers admit more candidates for the huge features;
+    the native bbox prefilter + ray cast absorb them — the standard
+    polyfill cell-budget tradeoff.
+
+    Same pair set, same exact refine, same output columns as the
+    uniform-res join — differential-tested equal. Use when polygon
     extents span many cells at ``res`` (admin boundaries, landuse); the
     uniform-res join stays preferable for building-scale features whose
     covers are a handful of cells."""
@@ -339,8 +359,14 @@ def point_in_polygon_join_compact(
     if refine == "native":
         polygons = polygons.withColumn(
             "_segsets", wkb_segment_sets(F.col("geometry")))
+    # per-polygon effective resolution: drop one level per factor-4
+    # overshoot of the cell budget (closed-form from the bbox alone)
+    ncells = cover_size_expr("bbox", res).cast("double")
+    over = F.greatest(F.lit(1.0), ncells / F.lit(float(max_cover_cells)))
+    r_eff = F.greatest(
+        F.lit(0), F.lit(res) - F.ceil(F.log(4.0, over)).cast("int"))
     cover = polygons.select(*keys, "bbox").withColumn(
-        "cell", F.explode(cover_cells_expr("bbox", res)))
+        "cell", F.explode(cover_cells_dyn_expr("bbox", r_eff)))
     compacted = compact_cover(cover, key_cols=keys)
     levels = sorted(
         r[0] for r in compacted.select(
@@ -447,6 +473,83 @@ def point_in_polygon_join(
             point_in_wkb_polygon(F.col(lon_col), F.col(lat_col), F.col(geo))
         )
     return refined.drop("_salt") if point_salt and point_salt > 1 else refined
+
+
+def cover_size_expr(bbox_col: str, res: int) -> F.Column:
+    """Number of cells a bbox covers at ``res`` — closed-form, no
+    explode (the routing statistic for :func:`point_in_polygon_join_auto`)."""
+    n = 1 << res
+    b = F.col(bbox_col)
+
+    def idx(coord, offset, extent):
+        v = F.floor((coord + F.lit(offset)) / F.lit(extent) * F.lit(float(n)))
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), v)).cast("long")
+
+    nx = idx(b["xmax"], 180.0, 360.0) - idx(b["xmin"], 180.0, 360.0) + 1
+    ny = idx(b["ymax"], 90.0, 180.0) - idx(b["ymin"], 90.0, 180.0) + 1
+    return nx * ny
+
+
+def point_in_polygon_join_auto(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 15,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_cols=("id", "osm_type"),
+    max_cover_cells: int = 64,
+    broadcast_polygons: bool | None = None,
+    refine: str = "native",
+) -> DataFrame:
+    """Mixed-corpus PIP join: route each polygon by its cover size.
+
+    A uniform-res cover replicates a polygon ``O(extent^2 * 4^res)``
+    ways — right for buildings (a handful of cells), catastrophic for
+    an admin boundary (10^5+ rows per feature). The compact join fixes
+    the large ones but makes every point probe one cell per resolution
+    level. This splits the corpus ONCE by the closed-form cover size
+    at ``res`` (<= ``max_cover_cells`` -> uniform equi-join, else ->
+    compacted mixed-res join) and unions the pair sets — each feature
+    gets the physical plan its extent wants. The reference has no
+    mixed-scale path at all (its sjoin is a single GEOS pass,
+    frames.pyx:231-241).
+
+    Output: point columns + ``poly_``-prefixed id columns (the common
+    contract of both underlying joins). Differential-tested equal to
+    running the uniform join over the whole corpus."""
+    keys = [c for c in id_cols if c in polygons.columns]
+    if not keys:
+        raise ValueError(
+            f"id_cols {id_cols} not found in polygons {polygons.columns}")
+    if "bbox" not in polygons.columns:
+        polygons = polygons.withColumn("bbox", wkb_bbox(F.col("geometry")))
+    size = cover_size_expr("bbox", res)
+    small = polygons.filter(size <= max_cover_cells)
+    large = polygons.filter(size > max_cover_cells)
+    out_cols = ([c for c in points.columns]
+                + [f"poly_{c}" for c in keys])
+    parts = []
+    # .limit(1).count() per side: one metadata-cheap job each on the
+    # polygon table (the small side of the join by construction)
+    if small.limit(1).count():
+        j = point_in_polygon_join(
+            points, small, res=res, lon_col=lon_col, lat_col=lat_col,
+            broadcast_polygons=broadcast_polygons, refine=refine)
+        parts.append(j.select(*out_cols))
+    if large.limit(1).count():
+        j = point_in_polygon_join_compact(
+            points, large, res=res, lon_col=lon_col, lat_col=lat_col,
+            id_cols=keys, broadcast_polygons=broadcast_polygons,
+            refine=refine)
+        parts.append(j.select(*out_cols))
+    if not parts:
+        return (point_in_polygon_join(
+            points, polygons, res=res, lon_col=lon_col, lat_col=lat_col,
+            refine=refine).select(*out_cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def bbox_geometry_filter(features: DataFrame, bbox: tuple,

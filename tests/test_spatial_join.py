@@ -409,3 +409,78 @@ def test_native_refine_holes_and_multipolygon(spark):
     py = np.array([2.0, 5.0, 15.0, 21.0, 5.0])
     k_donut = G.points_in_polygon(px, py, [shell, hole])
     assert list(k_donut) == [True, False, False, False, True]
+
+
+def test_pip_auto_routes_mixed_corpus(spark, images, buildings):
+    """point_in_polygon_join_auto must equal the uniform join over a
+    corpus holding both building-scale polygons and one huge polygon
+    (routed to the compact mixed-res path), and must actually split
+    the corpus both ways at the default threshold."""
+    from pyrosm_spark.operators.spatial_join import (
+        cover_size_expr,
+        point_in_polygon_join_auto,
+        wkb_bbox,
+    )
+
+    big = G.wkb_polygon([np.array(
+        [[24.0, 59.9], [26.0, 59.9], [26.0, 60.7], [24.0, 60.7],
+         [24.0, 59.9]])])
+    extra = spark.createDataFrame(
+        [(999_999, "way", bytearray(big))], "id long, osm_type string, geometry binary")
+    corpus = buildings.unionByName(extra)
+
+    withsize = corpus.withColumn("bbox", wkb_bbox(F.col("geometry"))) \
+                     .withColumn("ncells", cover_size_expr("bbox", 15))
+    n_small = withsize.filter("ncells <= 64").count()
+    n_large = withsize.filter("ncells > 64").count()
+    assert n_small > 0 and n_large > 0  # both routes exercised
+
+    auto = point_in_polygon_join_auto(images, corpus, res=15)
+    uni = point_in_polygon_join(images, corpus, res=15)
+    a = {(r["image_id"], r["poly_id"], r["poly_osm_type"])
+         for r in auto.collect()}
+    u = {(r["image_id"], r["poly_id"], r["poly_osm_type"])
+         for r in uni.select("image_id", "poly_id", "poly_osm_type")
+         .collect()}
+    assert a == u
+    # the huge polygon contains every image point (images are generated
+    # inside the synth bbox)
+    assert {(i, p) for i, p, _ in a if p == 999_999} == {
+        (r["image_id"], 999_999) for r in images.select("image_id").collect()}
+
+
+def test_pip_compact_caps_world_polygon_cover(spark, images, buildings):
+    """A world-spanning polygon must NOT explode a uniform res-15 cover
+    (~10^9 rows) — the per-polygon resolution cap bounds the cover
+    closed-form before the explode, and the pair set still matches the
+    uniform join run on the same corpus."""
+    from pyrosm_spark.operators.spatial_join import (
+        point_in_polygon_join_auto,
+        point_in_polygon_join_compact,
+    )
+
+    world = G.wkb_polygon([np.array(
+        [[-179.0, -89.0], [179.0, -89.0], [179.0, 89.0], [-179.0, 89.0],
+         [-179.0, -89.0]])])
+    corpus = buildings.unionByName(spark.createDataFrame(
+        [(777, "way", bytearray(world))],
+        "id long, osm_type string, geometry binary"))
+
+    # compact join end to end at res 15 — without the cap this would
+    # need a ~10^9-row cover for the world polygon alone
+    c = point_in_polygon_join_compact(images, corpus, res=15)
+    got = {(r["image_id"], r["poly_id"]) for r in
+           c.select("image_id", "poly_id").collect()}
+    # world polygon contains every image; building pairs match the
+    # uniform join over buildings alone
+    uni = point_in_polygon_join(images, buildings, res=15)
+    exp = {(r["image_id"], r["poly_id"]) for r in
+           uni.select("image_id", "poly_id").collect()}
+    all_imgs = {r["image_id"] for r in images.select("image_id").collect()}
+    assert got == exp | {(i, 777) for i in all_imgs}
+
+    # the auto join routes the world polygon through the capped
+    # compact path and agrees
+    a = point_in_polygon_join_auto(images, corpus, res=15)
+    assert {(r["image_id"], r["poly_id"]) for r in
+            a.select("image_id", "poly_id").collect()} == got
