@@ -359,6 +359,12 @@ def point_in_polygon_join_compact(
     if refine == "native":
         polygons = polygons.withColumn(
             "_segsets", wkb_segment_sets(F.col("geometry")))
+    # The polygon side is the feature side — orders of magnitude below
+    # the point side by construction. It is evaluated several times
+    # below (compaction's per-level jobs, the levels collect, the final
+    # payload join); persist it once so the WKB bbox/segment kernels
+    # don't re-run per action (MEMORY_AND_DISK, LRU-evictable).
+    polygons = polygons.persist()
     # per-polygon effective resolution: drop one level per factor-4
     # overshoot of the cell budget (closed-form from the bbox alone)
     ncells = cover_size_expr("bbox", res).cast("double")
@@ -367,7 +373,8 @@ def point_in_polygon_join_compact(
         F.lit(0), F.lit(res) - F.ceil(F.log(4.0, over)).cast("int"))
     cover = polygons.select(*keys, "bbox").withColumn(
         "cell", F.explode(cover_cells_dyn_expr("bbox", r_eff)))
-    compacted = compact_cover(cover, key_cols=keys)
+    # used twice: the levels collect below + the candidate join
+    compacted = compact_cover(cover, key_cols=keys).persist()
     levels = sorted(
         r[0] for r in compacted.select(
             tiles.cell_res(F.col("cell")).alias("r")).distinct().collect()
@@ -523,20 +530,27 @@ def point_in_polygon_join_auto(
             f"id_cols {id_cols} not found in polygons {polygons.columns}")
     if "bbox" not in polygons.columns:
         polygons = polygons.withColumn("bbox", wkb_bbox(F.col("geometry")))
+    # persisted: the routing probe + both route joins read this frame,
+    # and the feature side is the small side of the join by construction
+    polygons = polygons.persist()
     size = cover_size_expr("bbox", res)
     small = polygons.filter(size <= max_cover_cells)
     large = polygons.filter(size > max_cover_cells)
     out_cols = ([c for c in points.columns]
                 + [f"poly_{c}" for c in keys])
     parts = []
-    # .limit(1).count() per side: one metadata-cheap job each on the
-    # polygon table (the small side of the join by construction)
-    if small.limit(1).count():
+    # ONE routing job computes both side counts (was two limit-count
+    # probes, each its own job over the polygon plan)
+    route = polygons.agg(
+        F.count(F.when(size <= max_cover_cells, 1)).alias("n_small"),
+        F.count(F.when(size > max_cover_cells, 1)).alias("n_large"),
+    ).collect()[0]
+    if route["n_small"]:
         j = point_in_polygon_join(
             points, small, res=res, lon_col=lon_col, lat_col=lat_col,
             broadcast_polygons=broadcast_polygons, refine=refine)
         parts.append(j.select(*out_cols))
-    if large.limit(1).count():
+    if route["n_large"]:
         j = point_in_polygon_join_compact(
             points, large, res=res, lon_col=lon_col, lat_col=lat_col,
             id_cols=keys, broadcast_polygons=broadcast_polygons,

@@ -42,7 +42,7 @@ def norm_rows(rows, cols):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only=None):
     # scale-dependent oracles (IVF codebook re-derivation) must train
     # on the same table the Spark query reads
     os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
@@ -57,6 +57,8 @@ def main(sf_dir: str):
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         t0 = time.time()
@@ -123,4 +125,5 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+         only=set(sys.argv[2:]) or None)
