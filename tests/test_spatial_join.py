@@ -484,3 +484,23 @@ def test_pip_compact_caps_world_polygon_cover(spark, images, buildings):
     a = point_in_polygon_join_auto(images, corpus, res=15)
     assert {(r["image_id"], r["poly_id"]) for r in
             a.select("image_id", "poly_id").collect()} == got
+
+
+def test_pip_join_polygon_side_is_cached_in_plan(spark, images, buildings):
+    """The compact/auto joins evaluate the polygon-side plan several
+    times (compaction levels, the levels collect, the payload join, the
+    routing probe); the persist added for that must survive into the
+    physical plan — the polygon side should read from the cache, not
+    re-run the WKB kernels per action."""
+    from pyrosm_spark.operators.spatial_join import (
+        point_in_polygon_join_auto,
+        point_in_polygon_join_compact,
+    )
+
+    c = point_in_polygon_join_compact(images, buildings, res=15)
+    plan = c._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+
+    a = point_in_polygon_join_auto(images, buildings, res=15)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
