@@ -289,6 +289,82 @@ def compact_cover(cover: DataFrame, key_cols=("poly_id",),
     return df
 
 
+def compact_cover_uniform(cover: DataFrame, key_cols=("poly_id",),
+                          cell_col: str = "cell",
+                          max_depth: int = 8,
+                          assume_distinct: bool = False) -> DataFrame:
+    """One-pass :func:`compact_cover` for covers that are uniform-res
+    PER FEATURE — exactly what ``cover_cells_dyn_expr`` emits in the
+    compact PIP join. A cell collapses to its coarsest ancestor whose
+    complete ``4^(r-a)`` descendant block is present in the feature's
+    cover (a full subtree at level ``a`` implies full sibling groups at
+    every level between, so this equals the recursive sibling-collapse).
+
+    Why it exists: the generic compact runs a DRIVER LOOP of 2-3 jobs
+    per resolution level — ~20 serial round-trips for a deep cover, an
+    Amdahl tax that dwarfs the data work at small scale and serializes
+    the cluster at large scale. This variant is one declarative DAG
+    (distinct -> bounded ancestor explode -> full-block count ->
+    coarsest pick), no driver iteration at any input size.
+
+    ``max_depth`` bounds the ancestor explode: a feature whose cover
+    has ``n`` cells can collapse at most ``floor(log4 n)`` levels, so
+    the default 8 is lossless for covers up to 4^8 = 65,536 cells per
+    feature (the PIP join caps covers at 4,096). A deeper-than-depth
+    cover still compacts, just not past ``max_depth`` levels — the
+    result stays a valid (possibly non-minimal) cover.
+
+    Differential-tested equal to :func:`compact_cover` on
+    uniform-per-feature inputs; NOT for mixed-res covers (a feature's
+    cover holding several resolutions breaks the full-block count).
+    """
+    keys = list(key_cols)
+    df = cover.select(*keys, cell_col)
+    if not assume_distinct:  # cover_cells emits distinct cells already
+        df = df.distinct()
+    cell = F.col(cell_col)
+    r = tiles.cell_res(cell)
+    x, y = tiles.cell_xy(cell)
+    # ancestor at dynamic level a: arithmetic shifts (the shift amount
+    # is a Column, so the int-only shiftleft/right builtins don't apply)
+    lvl = F.col("_a")
+    mult = F.pow(F.lit(2.0), (r - lvl)).cast("long")
+    anc = (
+        # r == 0 has no ancestors (and sequence(0, -1) would run
+        # DESCENDING); such cells pass straight through the left join
+        df.filter(r >= 1).withColumn(
+            "_a",
+            F.explode(F.sequence(
+                F.greatest(F.lit(0), r - F.lit(int(max_depth))),
+                r - 1)))
+        .withColumn(
+            "_acell",
+            (lvl.cast("long") * F.lit(1 << _RES_SHIFT))
+            + F.floor(x / mult).cast("long") * F.lit(1 << _X_SHIFT)
+            + F.floor(y / mult).cast("long"))
+        .withColumn("_need", mult * mult)
+    )
+    full = (
+        anc.groupBy(*keys, "_acell", "_need")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == F.col("_need"))
+        .select(*keys, "_acell")
+    )
+    # per original cell: the coarsest (min level) full ancestor, if any
+    picked = (
+        anc.join(full, [*keys, "_acell"], "inner")
+        .groupBy(*keys, cell_col)
+        .agg(F.min_by("_acell", "_a").alias("_best"))
+    )
+    out = (
+        df.join(picked, [*keys, cell_col], "left")
+        .select(*keys,
+                F.coalesce(F.col("_best"), cell).alias(cell_col))
+        .distinct()
+    )
+    return out
+
+
 def uncompact_cover(cover: DataFrame, res: int,
                     cell_col: str = "cell") -> DataFrame:
     """Inverse of :func:`compact_cover`: expand every cell to its
@@ -373,8 +449,14 @@ def point_in_polygon_join_compact(
         F.lit(0), F.lit(res) - F.ceil(F.log(4.0, over)).cast("int"))
     cover = polygons.select(*keys, "bbox").withColumn(
         "cell", F.explode(cover_cells_dyn_expr("bbox", r_eff)))
-    # used twice: the levels collect below + the candidate join
-    compacted = compact_cover(cover, key_cols=keys).persist()
+    # cover_cells_dyn emits one uniform resolution per feature, so the
+    # one-pass compact applies (no per-level driver loop); persisted:
+    # used twice (the levels collect below + the candidate join)
+    # default max_depth=8 is lossless up to 65,536-cell covers — 4x the
+    # 4,096 cap even before the cap's one-level slack; the dyn-cover
+    # explode emits distinct cells per feature by construction
+    compacted = compact_cover_uniform(
+        cover, key_cols=keys, assume_distinct=True).persist()
     levels = sorted(
         r[0] for r in compacted.select(
             tiles.cell_res(F.col("cell")).alias("r")).distinct().collect()

@@ -504,3 +504,56 @@ def test_pip_join_polygon_side_is_cached_in_plan(spark, images, buildings):
     a = point_in_polygon_join_auto(images, buildings, res=15)
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_compact_cover_uniform_equals_iterative(spark):
+    """compact_cover_uniform (one-pass, no driver loop) must produce
+    the identical compacted set as the iterative compact_cover on
+    uniform-res-per-feature covers — random rectangles plus aligned
+    full 4x4 blocks (which force multi-level collapse), mixed
+    resolutions ACROSS features."""
+    import random
+
+    from pyrosm_spark.operators.spatial_join import (
+        compact_cover,
+        compact_cover_uniform,
+    )
+
+    random.seed(11)
+    rows = []
+    for fid in range(30):
+        res = random.randint(1, 10)
+        n = 1 << res
+        x0, y0 = random.randint(0, n - 2), random.randint(0, n - 2)
+        w = random.randint(1, min(6, n - x0))
+        h = random.randint(1, min(6, n - y0))
+        rows += [(fid, (res << TT._RES_SHIFT) + ((x0 + dx) << TT._X_SHIFT)
+                  + (y0 + dy)) for dx in range(w) for dy in range(h)]
+        if fid % 3 == 0 and res >= 2:
+            bx, by = (x0 // 4) * 4, (y0 // 4) * 4
+            if bx + 4 <= n and by + 4 <= n:
+                rows += [(fid, (res << TT._RES_SHIFT)
+                          + ((bx + dx) << TT._X_SHIFT) + (by + dy))
+                         for dx in range(4) for dy in range(4)]
+    cov = spark.createDataFrame(rows, "fid int, cell long")
+    a = {(r["fid"], r["cell"])
+         for r in compact_cover_uniform(cov, key_cols=["fid"]).collect()}
+    b = {(r["fid"], r["cell"])
+         for r in compact_cover(cov, key_cols=["fid"]).collect()}
+    assert a == b
+
+
+def test_compact_cover_uniform_full_grid_single_parent(spark):
+    """A complete aligned 4^k block collapses to one ancestor in one
+    declarative DAG (the driver-loop-free path the compact PIP join
+    uses)."""
+    from pyrosm_spark.operators.spatial_join import compact_cover_uniform
+
+    res, k = 6, 3
+    n = 1 << k
+    rows = [(1, (res << TT._RES_SHIFT) + (x << TT._X_SHIFT) + y)
+            for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "fid long, cell long")
+    out = compact_cover_uniform(df, key_cols=("fid",)).collect()
+    assert len(out) == 1
+    assert TT.decode_py(out[0]["cell"]) == (res - k, 0, 0)
