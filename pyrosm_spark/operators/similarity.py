@@ -438,6 +438,328 @@ def ann_ivf_sql(parquet_path: str, table: str = "embeddings", k: int = 5,
     """
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    kc: int = 16,
+    dim: int = 64,
+    sample_per_cell: int = 256,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks: the vector space
+    splits into ``m`` contiguous subspaces of ``dim/m`` dims; each
+    subspace gets its own ``kc``-centroid Lloyd codebook trained on the
+    SAME bounded hash-prefix sample IVF training uses (one collect of
+    <= kc*sample_per_cell driver-sized rows regardless of corpus
+    scale). Returns shape (m, kc, dim/m) — a broadcast-sized array
+    baked into the encode/LUT UDFs, re-derivable bit-for-bit by the
+    DuckDB-oracle builder."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    n_train = kc * sample_per_cell
+    base = corpus.select(F.col(corpus_id).alias("i"),
+                         F.col(vec_col).cast("array<double>").alias("v"))
+    h = F.pmod(
+        F.pmod(F.col("i").cast("long"), F.lit(_IVF_SAMPLE_RING))
+        * F.lit(_IVF_SAMPLE_MULT), F.lit(_IVF_SAMPLE_RING))
+    rows = (base.filter(F.pmod(h, F.lit(_IVF_SAMPLE_MOD)) == 0)
+            .orderBy("i").limit(n_train).collect())
+    if len(rows) < kc:
+        rows = base.orderBy("i").limit(n_train).collect()
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    return pq_codebooks_from_sample(mat, m, kc)
+
+
+def pq_codebooks_from_sample(mat: np.ndarray, m: int,
+                             kc: int) -> np.ndarray:
+    """numpy core shared by the engine and the oracle builder: per-
+    subspace :func:`kmeans_codebook` over the sample's subspace
+    columns."""
+    dsub = mat.shape[1] // m
+    return np.stack([
+        kmeans_codebook(mat[:, j * dsub:(j + 1) * dsub], kc)
+        for j in range(m)
+    ])
+
+
+def make_pq_encode_udf(codebooks: np.ndarray):
+    """UDF: vector -> its ``m`` PQ codes (nearest subspace centroid,
+    stable tie on code index). One Arrow-batch matmul per subspace —
+    the 4^m-way product structure means each vector stores m small
+    ints instead of dim floats (the compression that makes a 10^12-row
+    corpus index fit: 64 dims x float64 = 512 B -> m=4 bytes)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kc, dsub = books.shape
+    norms2 = (books * books).sum(axis=2)  # (m, kc)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def pq_codes(vec: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vec])
+        out = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            d = norms2[j][None, :] - 2.0 * (sub @ books[j].T)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return pq_codes
+
+
+def make_pq_lut_udf(codebooks: np.ndarray):
+    """UDF: query vector -> flat ADC lookup table of m*kc doubles —
+    LUT[j*kc + c] = <q_subspace_j, codebook[j][c]>. Built once per
+    QUERY row (tiny); candidate scoring then never touches Python: the
+    ADC dot is a native element_at/aggregate over (LUT, codes)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kc, dsub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def pq_lut(vec: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vec])
+        luts = np.empty((len(x), m * kc), dtype=np.float64)
+        for j in range(m):
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            luts[:, j * kc:(j + 1) * kc] = sub @ books[j].T
+        return pd.Series(list(luts))
+
+    return pq_lut
+
+
+def ann_topk_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    kc: int = 16,
+    dim: int = 64,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the index shape that holds at 10^12
+    vectors: IVF cells bound which corpus fraction each query scans
+    (~nprobe/n_cells, same as :func:`ann_topk_ivf`), and product
+    quantization bounds the BYTES scanned — candidates carry m small
+    codes, never the raw vector, and scoring is asymmetric-distance
+    (ADC): score(q, v) ~= sum_j LUT_q[j][code_j(v)] with the per-query
+    LUT built once. The candidate hot path is fully JVM-side (an
+    equi-join on cell + a native element_at/aggregate over two small
+    arrays inside whole-stage codegen); Arrow runs only per-corpus-row
+    encode and per-query LUT build. The approximate cosine divides by
+    the PQ-reconstructed norm sqrt(sum_j |c_j|^2) — the standard ADC
+    norm estimate. Deterministic end-to-end (seeded codebooks, stable
+    argmin/rank ties), so the DuckDB oracle reproduces the exact
+    ranking, not just recall."""
+    if centroids is None and codebooks is None:
+        # one collect feeds both trainings: the sample is id-ordered,
+        # so each trainer's head slice matches what its standalone
+        # collect would have returned (and what the oracle re-derives)
+        spc = 256
+        base = corpus.select(F.col(corpus_id).alias("i"),
+                             F.col(vec_col).cast("array<double>").alias("v"))
+        h = F.pmod(
+            F.pmod(F.col("i").cast("long"), F.lit(_IVF_SAMPLE_RING))
+            * F.lit(_IVF_SAMPLE_MULT), F.lit(_IVF_SAMPLE_RING))
+        n_max = max(n_cells, kc) * spc
+        rows = (base.filter(F.pmod(h, F.lit(_IVF_SAMPLE_MOD)) == 0)
+                .orderBy("i").limit(n_max).collect())
+        mat = np.array([r["v"] for r in rows], dtype=np.float64)
+        # per-trainer tiny-corpus fallbacks stay INDEPENDENT, exactly
+        # as the standalone trainers (and the oracle builder) decide
+        cmat = mat[:n_cells * spc]
+        if len(cmat) < n_cells:
+            cmat = np.array(
+                [r["v"] for r in base.orderBy("i")
+                 .limit(n_cells * spc).collect()], dtype=np.float64)
+        pmat = mat[:kc * spc]
+        if len(pmat) < kc:
+            pmat = np.array(
+                [r["v"] for r in base.orderBy("i")
+                 .limit(kc * spc).collect()], dtype=np.float64)
+        centroids = kmeans_codebook(cmat, n_cells)
+        codebooks = pq_codebooks_from_sample(pmat, m, kc)
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_cells, dim, corpus_id=corpus_id, vec_col=vec_col)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, m, kc, dim, corpus_id=corpus_id, vec_col=vec_col)
+    assign1 = make_ivf_assign_udf(centroids, nprobe=1)
+    assignp = make_ivf_assign_udf(centroids, nprobe=nprobe)
+    encode = make_pq_encode_udf(codebooks)
+    lut = make_pq_lut_udf(codebooks)
+    # per-(subspace, code) squared norms — a GLOBAL literal array, the
+    # reconstructed-norm half of the ADC score
+    books = np.asarray(codebooks, dtype=np.float64)
+    n2 = (books * books).sum(axis=2).reshape(-1)  # flat m*kc
+    n2_lit = F.array(*[F.lit(float(v)) for v in n2])
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).select(
+        "neighbor_id",
+        F.element_at(assign1(F.col("cvec")), 1).alias("cell"),
+        encode(F.col("cvec")).alias("codes"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).select(
+        "query_id",
+        F.explode(assignp(F.col("qvec"))).alias("cell"),
+        lut(F.col("qvec")).alias("lut"),
+        F.sqrt(_dot(F.col("qvec"), F.col("qvec"))).alias("qnorm"),
+    )
+
+    def _adc(arr):  # sum_j arr[j*kc + codes[j]] — native, j ascending
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(books.shape[0]) - 1)),
+                lambda j: F.element_at(
+                    arr,
+                    (j * F.lit(int(books.shape[1]))
+                     + F.element_at(F.col("codes"), j + 1) + 1
+                     ).cast("int"))),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(_adc(F.col("lut"))
+                    / (F.col("qnorm") * F.sqrt(_adc(n2_lit))), 6))
+    )
+    scored = _ann_dedupe(scored)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_ivfpq_sql(parquet_path: str, table: str = "embeddings",
+                  k: int = 5, n_cells: int = 8, nprobe: int = 4,
+                  m: int = 4, kc: int = 16,
+                  query_filter: str = "vec_id < 20",
+                  sample_per_cell: int = 256) -> str:
+    """DuckDB mirror of :func:`ann_topk_ivfpq`: coarse centroids AND
+    per-subspace PQ codebooks are re-derived at SQL-build time from the
+    same deterministic hash-prefix sample (bit-identical numpy path)
+    and embedded as literals. The SQL then reproduces the WHOLE
+    approximate pipeline — corpus cell assignment, per-vector PQ codes
+    (argmin over literal subspace centroids, stable tie on code),
+    nprobe candidate generation, and ADC scoring with the
+    PQ-reconstructed norm — so the value oracle checks the exact
+    approximate ranking, not merely recall."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
+    full = t.to_pandas()
+    ids = full["vec_id"].to_numpy().astype(np.int64)
+    h = ((ids % _IVF_SAMPLE_RING) * _IVF_SAMPLE_MULT) % _IVF_SAMPLE_RING
+    n_train = max(n_cells, kc) * sample_per_cell
+    df = (full[h % _IVF_SAMPLE_MOD == 0]
+          .sort_values("vec_id").head(n_cells * sample_per_cell))
+    if len(df) < n_cells:
+        df = full.sort_values("vec_id").head(n_cells * sample_per_cell)
+    mat = np.array([np.asarray(v, dtype=np.float64)
+                    for v in df["embedding"]])
+    cent = kmeans_codebook(mat, n_cells)
+    dfp = (full[h % _IVF_SAMPLE_MOD == 0]
+           .sort_values("vec_id").head(kc * sample_per_cell))
+    if len(dfp) < kc:
+        dfp = full.sort_values("vec_id").head(kc * sample_per_cell)
+    matp = np.array([np.asarray(v, dtype=np.float64)
+                     for v in dfp["embedding"]])
+    books = pq_codebooks_from_sample(matp, m, kc)
+    del n_train
+    dsub = books.shape[2]
+
+    rows = []
+    for c in range(n_cells):
+        lit = "[" + ", ".join(repr(float(x)) for x in cent[c]) + "]"
+        rows.append(f"SELECT {c} AS cell, CAST({lit} AS DOUBLE[]) AS cv")
+    cents_sql = " UNION ALL ".join(rows)
+    prow = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        for c in range(kc):
+            lit = ("[" + ", ".join(repr(float(x)) for x in books[j][c])
+                   + "]")
+            n2 = repr(float((books[j][c] * books[j][c]).sum()))
+            prow.append(
+                f"SELECT {j} AS sub, {c} AS code, {lo} AS lo, {hi} AS hi,"
+                f" CAST({lit} AS DOUBLE[]) AS cv, {n2} AS n2")
+    pq_sql = " UNION ALL ".join(prow)
+    return f"""
+        WITH cents AS ({cents_sql}),
+        cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS n2 FROM cents),
+        pqc AS ({pq_sql}),
+        assigned AS (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY c.n2 - 2 * list_dot_product(
+                           CAST(e.embedding AS DOUBLE[]), c.cv),
+                           c.cell) AS rk
+            FROM {table} e, cn c
+        ),
+        corpus_cell AS (
+            SELECT vec_id AS neighbor_id, cell FROM assigned WHERE rk = 1
+        ),
+        probe AS (
+            SELECT vec_id AS query_id, cell FROM assigned
+            WHERE rk <= {nprobe} AND {query_filter}
+        ),
+        codes AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT e.vec_id, p.sub, p.code,
+                       row_number() OVER (PARTITION BY e.vec_id, p.sub
+                           ORDER BY p.n2 - 2 * list_dot_product(
+                               CAST(e.embedding AS DOUBLE[])[p.lo:p.hi],
+                               p.cv), p.code) AS rk
+                FROM {table} e, pqc p
+            ) WHERE rk = 1
+        ),
+        cand AS (
+            SELECT DISTINCT p.query_id, cc.neighbor_id
+            FROM probe p JOIN corpus_cell cc ON cc.cell = p.cell
+            WHERE p.query_id != cc.neighbor_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   round(
+                       sum(list_dot_product(
+                           CAST(q.embedding AS DOUBLE[])[p.lo:p.hi],
+                           p.cv) ORDER BY p.sub)
+                       / (any_value(sqrt(list_dot_product(
+                              CAST(q.embedding AS DOUBLE[]),
+                              CAST(q.embedding AS DOUBLE[]))))
+                          * sqrt(sum(p.n2 ORDER BY p.sub))), 6)
+                       AS cosine
+            FROM cand
+            JOIN codes cd ON cd.vec_id = cand.neighbor_id
+            JOIN pqc p ON p.sub = cd.sub AND p.code = cd.code
+            JOIN {table} q ON q.vec_id = cand.query_id
+            GROUP BY cand.query_id, cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 def lsh_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -468,3 +468,52 @@ def test_ivf_sample_hash_mirrors_numpy(spark, emb):
     np_ids = sorted(ids[hh % _IVF_SAMPLE_MOD == 0].tolist())
     assert spark_ids == np_ids
     assert 0 < len(np_ids) < len(ids)  # a real subsample on this corpus
+
+
+def test_ann_ivfpq_vs_oracle(spark, emb, duck):
+    """The full IVF-PQ pipeline (coarse assign, PQ codes, ADC scores,
+    ranking) must match the DuckDB mirror that re-derives the same
+    codebooks and embeds them as literals — the oracle checks the
+    exact approximate ranking, not recall."""
+    import os
+
+    got = S.ann_topk_ivfpq(emb.filter(F.col("vec_id") < 20), emb, k=5,
+                           n_cells=8, nprobe=4, m=4, kc=16)
+    rows, cols = run_oracle(duck, S.ann_ivfpq_sql(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        "embeddings", k=5, n_cells=8, nprobe=4, m=4, kc=16))
+    compare(got, rows, cols)
+
+
+def test_ann_ivfpq_planted_self_retrieval(spark, emb):
+    """A near-identical planted vector quantizes to the same PQ codes
+    as its source, so its ADC score ties the best possible — IVF-PQ
+    must retrieve the plant at rank 1 for the source query (the recall
+    property PQ actually promises: near-duplicates survive
+    quantization)."""
+    src = emb.filter(F.col("vec_id") == 7).collect()[0]
+    plant = spark.createDataFrame(
+        [(999_777, list(src["embedding"]))],
+        "vec_id long, embedding array<float>")
+    corpus = emb.select("vec_id", "embedding").unionByName(plant)
+    got = S.ann_topk_ivfpq(emb.filter(F.col("vec_id") == 7), corpus,
+                           k=3, n_cells=8, nprobe=4, m=4, kc=16)
+    top = {r["rank"]: r["neighbor_id"] for r in got.collect()}
+    assert top[1] == 999_777
+
+
+def test_ann_ivfpq_deterministic_and_bounded(spark, emb):
+    """Codebooks are pure functions of the sample; ADC cosine is the
+    quantized estimate so it must stay in [-1-eps, 1+eps]; codes carry
+    m entries each within [0, kc)."""
+    import numpy as np
+
+    b1 = S.train_pq_codebooks(emb, m=4, kc=8)
+    b2 = S.train_pq_codebooks(emb, m=4, kc=8)
+    assert np.array_equal(b1, b2)
+    assert b1.shape == (4, 8, 16)
+    got = S.ann_topk_ivfpq(emb.filter(F.col("vec_id") < 10), emb, k=3,
+                           n_cells=8, nprobe=8, m=4, kc=16).collect()
+    assert len(got) > 0
+    for r in got:
+        assert -1.5 <= r["cosine"] <= 1.5
