@@ -43,7 +43,9 @@ def simple_plan(df) -> str:
 def main():
     # AQE wraps plans in AdaptiveSparkPlan whose string hides codegen
     # markers — disable it for the AUDIT session only (engine sessions
-    # keep AQE on).
+    # keep AQE on), and tell the entry's defensive _tuned wrapper to
+    # leave this session's conf alone.
+    os.environ["SPARK_GRAFT_NO_TUNE"] = "1"
     spark = get_spark("plan_audit", master="local[8]", shuffle_partitions=16,
                       extra_conf={"spark.sql.adaptive.enabled": "false"})
     sf = "/root/testdata/sf0.01"
