@@ -634,3 +634,67 @@ def test_osm_facade_write_pbf_headline_workflow(spark, synth_dir,
         if k != "maxspeed":
             assert tags.get(k) == v
     assert rw.count() == w.count()
+
+
+def test_adversarial_extremes_roundtrip(spark, tmp_path):
+    """Wire-format stress: ids near 2^62 (max varint width), coords at
+    the lon/lat extremes and at 1e-7 granularity, a 300-key tag map, a
+    500/2000-char key/value, multi-byte unicode, an empty tag map, a
+    1-ref way, and a mixed-type relation — one write -> read roundtrip
+    must preserve everything."""
+    from pyspark.sql import Row
+
+    from pyrosm_spark.sources.pbf import read_pbf, write_pbf
+
+    big = 2 ** 62
+    nodes = spark.createDataFrame([
+        Row(id=1, lon=-180.0, lat=-90.0, tags={}, version=1,
+            timestamp=0, visible=True),
+        Row(id=big, lon=180.0, lat=90.0,
+            tags={"k" * 500: "v" * 2000, "uni": "héllo🌍"},
+            version=2 ** 30, timestamp=2 ** 40, visible=True),
+        Row(id=2, lon=0.0000001, lat=-0.0000001,
+            tags={f"key{i}": f"val{i}" for i in range(300)},
+            version=1, timestamp=1, visible=True),
+    ], schema="id long, lon double, lat double, "
+              "tags map<string,string>, version int, timestamp long, "
+              "visible boolean")
+    ways = spark.createDataFrame([
+        Row(id=big - 1, refs=[1, big, 2], tags={"highway": "service"},
+            version=1, timestamp=5, visible=True),
+        Row(id=5, refs=[1], tags={}, version=1, timestamp=5,
+            visible=True),
+    ], schema="id long, refs array<long>, tags map<string,string>, "
+              "version int, timestamp long, visible boolean")
+    rels = spark.createDataFrame([
+        Row(id=9,
+            members=[Row(member_id=big - 1, member_type="way",
+                         member_role="outer"),
+                     Row(member_id=1, member_type="node",
+                         member_role="")],
+            tags={"type": "multipolygon"}, version=1, timestamp=9,
+            visible=True),
+    ], schema="id long, members array<struct<member_id long, "
+              "member_type string, member_role string>>, "
+              "tags map<string,string>, version int, timestamp long, "
+              "visible boolean")
+
+    p = str(tmp_path / "adv.osm.pbf")
+    stats = write_pbf(nodes, ways, rels, p)
+    assert stats["nodes"] == 3 and stats["ways"] == 2
+    n2, w2, r2 = read_pbf(spark, p)
+    nn = {r["id"]: r for r in n2.collect()}
+    assert sorted(nn) == [1, 2, big]
+    assert abs(nn[big]["lon"] - 180.0) < 1e-6
+    assert abs(nn[big]["lat"] - 90.0) < 1e-6
+    assert abs(nn[2]["lon"] - 0.0000001) < 1e-7
+    assert nn[big]["tags"]["uni"] == "héllo🌍"
+    assert nn[big]["tags"]["k" * 500] == "v" * 2000
+    assert len(nn[2]["tags"]) == 300
+    ww = {r["id"]: r for r in w2.collect()}
+    assert ww[big - 1]["refs"] == [1, big, 2]
+    assert ww[5]["refs"] == [1]
+    rr = r2.collect()[0]
+    assert [m["member_id"] for m in rr["members"]] == [big - 1, 1]
+    assert rr["members"][0]["member_role"] == "outer"
+    assert rr["members"][1]["member_role"] == ""
