@@ -472,3 +472,73 @@ def test_fix_ring_renodes_epsilon_vertex_cluster():
     for p in parts:
         assert G.ring_is_simple(p)
         assert abs(G.signed_area(p)) > 0
+
+
+def test_bracket_compiler_random_differential(spark):
+    """Randomized 3-way differential over the bracket grammar: the
+    Catalyst column, the driver-side CompiledFilter.matches, and an
+    independent evaluator of the reference's documented Overpass
+    semantics (filter_compiler.py:61-62 — a NEGATIVE operator is
+    satisfied when the key is absent; positive operators require
+    presence) must agree on every row for random filters over random
+    tag maps."""
+    import random
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    random.seed(20260818)
+    keys = ["highway", "building", "shop", "bicycle", "access", "name"]
+    vals = ["path", "primary", "yes", "no", "bakery", "designated",
+            "Path"]
+
+    def rand_bracket():
+        forms = ["presence", "eq", "regex", "noteq", "notregex"]
+        kinds = [random.choice(forms) for _ in range(random.randint(1, 3))]
+        if all(f in ("noteq", "notregex") for f in kinds):
+            kinds[0] = random.choice(["presence", "eq", "regex"])
+        parts = []
+        for form in kinds:
+            k, v = random.choice(keys), random.choice(vals)
+            parts.append({"presence": f'["{k}"]',
+                          "eq": f'["{k}"="{v}"]',
+                          "noteq": f'["{k}"!="{v}"]',
+                          "regex": f'["{k}"~"{v}"]',
+                          "notregex": f'["{k}"!~"{v}"]'}[form])
+        return "".join(parts)
+
+    def eval_bracket(expr, tags):
+        ok = True
+        for m in _re.finditer(
+                r'\["([^"]+)"(?:(!?[=~])"([^"]*)")?\]', expr):
+            k, op, v = m.group(1), m.group(2), m.group(3)
+            tv = tags.get(k)
+            if op is None:
+                r = tv is not None
+            elif op == "=":
+                r = tv == v
+            elif op == "!=":
+                r = tv is None or tv != v
+            elif op == "~":
+                r = tv is not None and _re.search(v, tv) is not None
+            else:  # !~
+                r = tv is None or _re.search(v, tv) is None
+            ok = ok and r
+        return ok
+
+    rows = [(i, {k: random.choice(vals)
+                 for k in random.sample(keys, random.randint(0, 4))})
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id int, tags map<string,string>")
+
+    for _ in range(10):
+        exprs = [rand_bracket() for _ in range(random.randint(1, 2))]
+        cf = compile_custom_filter(
+            exprs if len(exprs) > 1 else exprs[0])
+        via_spark = {r["id"] for r in
+                     df.filter(cf.to_column(F.col("tags"))).collect()}
+        via_matches = {i for i, t in rows if cf.matches(t)}
+        expected = {i for i, t in rows
+                    if any(eval_bracket(e, t) for e in exprs)}
+        assert via_spark == expected, exprs
+        assert via_matches == expected, exprs
