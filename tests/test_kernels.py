@@ -542,3 +542,49 @@ def test_bracket_compiler_random_differential(spark):
                     if any(eval_bracket(e, t) for e in exprs)}
         assert via_spark == expected, exprs
         assert via_matches == expected, exprs
+
+
+def test_dict_filter_random_differential(spark):
+    """Randomized differential for the dict-filter execution path:
+    element_filter_column (Catalyst) vs the independent keep_way
+    oracle (tests/oracle.py — Solver.isin_check OR-across-keys +
+    candidate gate + keep/exclude inversion), over random filters
+    mixing True / raw-string / [True, ...] / string-list values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyrosm_spark.functions.filters import element_filter_column
+
+    from .oracle import keep_way
+
+    random.seed(5)
+    keys = ["highway", "building", "shop", "bicycle", "access"]
+    vals = ["path", "primary", "yes", "no", "bakery"]
+    rows = [(i, {k: random.choice(vals)
+                 for k in random.sample(keys, random.randint(0, 4))})
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id int, tags map<string,string>")
+
+    for _ in range(15):
+        filt = {}
+        for k in random.sample(keys, random.randint(0, 3)):
+            r = random.random()
+            if r < 0.2:
+                filt[k] = True
+            elif r < 0.4:
+                filt[k] = random.choice(vals)
+            elif r < 0.6:
+                filt[k] = [True] + random.sample(vals, 1)
+            else:
+                filt[k] = random.sample(vals, random.randint(1, 3))
+        osm_keys = random.sample(keys, random.randint(1, 3))
+        ftype = random.choice(["keep", "exclude"])
+        col = element_filter_column(
+            F.col("tags"), filt or None, osm_keys, ftype)
+        got = {r["id"] for r in df.filter(col).collect()}
+        nfilt = {k: (v if v is True or isinstance(v, list) else [v])
+                 for k, v in filt.items()}
+        exp = {i for i, tags in rows
+               if keep_way(tags, nfilt or None, osm_keys, ftype)}
+        assert got == exp, (filt, osm_keys, ftype)
