@@ -341,3 +341,25 @@ def test_boundaries_types_name_search_and_validation(spark, osm):
         api.get_boundaries(boundary_type="Incorrect_type")
     assert api.get_boundaries(boundary_type=" Administrative ").count() \
         == admin.count()
+
+
+@pytest.mark.parametrize("seed,grid", [(7, 12), (1234, 20)])
+def test_network_matches_oracle_on_fresh_worlds(spark, tmp_path, seed,
+                                                grid):
+    """The seed-42 world the rest of the suite shares can mask
+    seed-specific coincidences; regenerate DIFFERENT worlds and re-run
+    the driving-network differential (ids + reference-rounded lengths)
+    against the independent oracle on each."""
+    from pyrosm_spark.synth import ensure_osm_tables
+
+    d = str(tmp_path / f"world_{seed}")
+    ensure_osm_tables(d, grid=grid, seed=seed)
+    nodes, ways, _ = load_osm(spark, d)
+    edges = get_network(nodes, ways, "driving")
+    got = {r["id"]: r["length"]
+           for r in edges.select("id", "length").collect()}
+    exp = oracle.network_oracle(d, network_filter("driving"))
+    assert set(got) == set(exp)
+    for wid, (_, length) in exp.items():
+        assert got[wid] == pytest.approx(length, abs=1.0), wid
+    assert len(got) > 10
