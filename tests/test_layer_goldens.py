@@ -97,3 +97,32 @@ def test_natural_golden(osm, raw):
     exp_w, exp_n = _expected_sets(raw, flt)
     assert got_w == exp_w and len(exp_w) > 0
     assert got_n == exp_n
+
+
+@pytest.mark.parametrize("seed,grid", [(7, 12), (1234, 20)])
+def test_buildings_golden_on_fresh_worlds(spark, tmp_path, seed, grid):
+    """Buildings id-set differential on REGENERATED worlds (different
+    seed + grid than the shared seed-42 fixture): standalone ways
+    (visible, building-tagged, >= 2 resolvable refs, not a kept
+    relation's member) + kept building relations — guards the layer
+    pipeline against seed-specific coincidences in the shared world."""
+    from pyrosm_spark.operators.layers import get_buildings
+    from pyrosm_spark.synth import ensure_osm_tables
+
+    d = str(tmp_path / f"world_{seed}")
+    ensure_osm_tables(d, grid=grid, seed=seed)
+    nodes, ways, rels = load_osm(spark, d)
+    raw = (oracle.load_rows(f"{d}/osm_nodes.parquet"),
+           oracle.load_rows(f"{d}/osm_ways.parquet"),
+           oracle.load_rows(f"{d}/osm_relations.parquet"))
+    flt = {"building": True}
+    got = get_buildings(nodes, ways, rels).select("id", "osm_type")
+    got_w = {r["id"] for r in got.collect() if r["osm_type"] == "way"}
+    got_r = {r["id"] for r in got.collect() if r["osm_type"] == "relation"}
+    exp_w, _ = _expected_sets(raw, flt, include_nodes=False)
+    assert got_w == exp_w and len(exp_w) > 0
+    # every kept relation must be building-tagged and visible in the raw
+    rel_tags = {r["id"]: dict(r["tags"] or {}) for r in raw[2]
+                if r["visible"]}
+    for rid in got_r:
+        assert rid in rel_tags and _matches(rel_tags[rid], flt)
