@@ -836,7 +836,11 @@ def knn_join_complete(
 
     base = knn_join(points, targets, k=k, res=res, ring=ring,
                     point_id_col=point_id_col, **kw)
-    results = base
+    # persist the loop-carried frames: each level's emptiness probe and
+    # the next level's join re-evaluate them, and the lineage otherwise
+    # grows by one join+window PER LEVEL (the last probe would recompute
+    # every earlier pass)
+    results = base.persist()
     remaining = points
     cur_res = res
     for _ in range(max_escalations):
@@ -846,7 +850,8 @@ def knn_join_complete(
             .filter(F.col("_n") >= k)
             .select(point_id_col)
         )
-        remaining = remaining.join(filled, point_id_col, "left_anti")
+        remaining = remaining.join(filled, point_id_col, "left_anti") \
+                             .persist()
         cur_res = max(cur_res - 2, 2)
         # cheap emptiness probe: the under-filled subset only
         if remaining.limit(1).count() == 0:
@@ -857,7 +862,7 @@ def knn_join_complete(
         # candidate set is a superset of the narrower pass')
         results = results.join(
             remaining.select(point_id_col), point_id_col, "left_anti"
-        ).unionByName(wider)
+        ).unionByName(wider).persist()
         if cur_res == 2:
             break
     return results
