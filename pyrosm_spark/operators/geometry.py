@@ -260,8 +260,24 @@ def _way_wkb_from_arrays(lons: pd.Series, lats: pd.Series,
     # the last->first closure term is identically 0 in translated
     # coordinates (first vertex sits at the origin)
     area2 = seg_sum  # 2*signed area of the implicitly-closed ring
-    degenerate = np.abs(area2) < 1e-16
     is_closed = (x[first_i] == x[last_i]) & (y[first_i] == y[last_i])
+    # Ring viability mirrors the reference's CREATION-level rule
+    # (geometry.pyx:361-378 create_polygon_geometry): a ring fails only
+    # when GEOS would refuse to build it — fewer than 4 points after
+    # auto-closing (i.e. <3 resolved, or exactly 3 resolved already
+    # closed) — or when every vertex is identical (the degenerate case
+    # the reference's batched builder demotes and the per-way builder
+    # returns None for). Zero-AREA rings with >=4 distinct-ish points
+    # (collinear slivers at a cropped extract's edge) are still BUILT,
+    # exactly as shapely/GEOS builds them without validation; its
+    # tests' golden counts (2208 buildings on test.osm.pbf) require
+    # those rows to survive.
+    starts_r = off[:-1]
+    all_same = (
+        (np.maximum.reduceat(x, starts_r) == np.minimum.reduceat(x, starts_r))
+        & (np.maximum.reduceat(y, starts_r) == np.minimum.reduceat(y, starts_r))
+    )
+    degenerate = (lens < 3) | all_same
 
     poly_flags = is_polygon.to_numpy()
     hdr_line = struct.pack("<BI", 1, G.WKB_LINESTRING)
@@ -284,6 +300,13 @@ def _way_wkb_from_arrays(lons: pd.Series, lats: pd.Series,
         npts = int(lens[i]) + (0 if is_closed[i] else 1)
         body = ring.tobytes() if is_closed[i] else (
             ring.tobytes() + ring[:1].tobytes())
+        if npts < 4:
+            # already-closed 3-point sliver (a cropped extract's edge):
+            # the reference still materializes the feature; pad with the
+            # closure vertex so the WKB ring meets the 4-point spec
+            # minimum.
+            body += ring[:1].tobytes()
+            npts += 1
         out.append(hdr_poly + struct.pack("<I", npts) + body)
     return pd.Series(out)
 

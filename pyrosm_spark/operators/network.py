@@ -74,6 +74,33 @@ def _present_tags(df: DataFrame, tag_cols, tag_source=None) -> DataFrame:
     return df
 
 
+def _segment_intersects_box(seg, bbox) -> F.Column:
+    """True iff the 2-point segment intersects the closed axis-aligned
+    rectangle (boundary touch counts, matching shapely ``intersects``
+    in the reference's final sjoin, frames.pyx:231-240). Separating
+    axes: (1) the segment's bbox overlaps the rectangle; (2) the four
+    rectangle corners do not all lie strictly on one side of the
+    segment's supporting line. Pure Column arithmetic — whole-stage
+    codegen, no UDF."""
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    x1, y1 = seg["lon1"], seg["lat1"]
+    x2, y2 = seg["lon2"], seg["lat2"]
+    overlap = (
+        (F.greatest(x1, x2) >= xmin) & (F.least(x1, x2) <= xmax)
+        & (F.greatest(y1, y2) >= ymin) & (F.least(y1, y2) <= ymax)
+    )
+    dx, dy = x2 - x1, y2 - y1
+
+    def cross(cx: float, cy: float) -> F.Column:
+        return dx * (F.lit(cy) - y1) - dy * (F.lit(cx) - x1)
+
+    c1, c2 = cross(xmin, ymin), cross(xmin, ymax)
+    c3, c4 = cross(xmax, ymin), cross(xmax, ymax)
+    same_side = ((c1 > 0) & (c2 > 0) & (c3 > 0) & (c4 > 0)) | (
+        (c1 < 0) & (c2 < 0) & (c3 < 0) & (c4 < 0))
+    return overlap & ~same_side
+
+
 def get_network(
     nodes: DataFrame,
     ways: DataFrame,
@@ -110,7 +137,11 @@ def get_network(
             .withColumn("osm_type", F.lit("way"))
         )
         edges = _present_tags(edges, tag_cols, tag_source=wf)
-        return edges.drop(geom.PTS_FIELD, "refs")
+        # The reference's network frame carries version/timestamp but
+        # never visible (its tests pin 19/21/22 columns; data_filter
+        # treats visible as internal-only — it drives history/delete
+        # filtering upstream, then leaves the presentation frame).
+        return edges.drop(geom.PTS_FIELD, "refs", "visible")
 
     # segment-level path (networks nodes=True; frames.pyx:79-99):
     # per-way consecutive pairs -> posexplode; no extra shuffle (W2 is
@@ -129,6 +160,14 @@ def get_network(
         ),
     )
     e = w.withColumn("seg", F.explode(segs))
+    if bbox is not None:
+        # F12 at segment level (frames.pyx:231-240 final sjoin): keep
+        # only segments that INTERSECT the box — complete (not cut),
+        # but a kept way's tail lying wholly outside the box is
+        # dropped. Exact segment-vs-AABB test as pure Catalyst
+        # arithmetic (bbox overlap + the rectangle's corners not all
+        # strictly on one side of the segment's supporting line).
+        e = e.filter(_segment_intersects_box(F.col("seg"), bbox))
     from pyrosm_spark.functions.distance import segment_length_m
 
     edges = (
@@ -159,7 +198,7 @@ def get_network(
     nodes_out = nodes.join(endpoint_ids, "id", "left_semi")
     nodes_out = nodes_out.withColumn(
         "geometry", geom.point_geometry_wkb(F.col("lon"), F.col("lat"))
-    ).withColumn("osm_type", F.lit("node"))
+    ).withColumn("osm_type", F.lit("node")).drop("visible")
     return nodes_out, edges
 
 
