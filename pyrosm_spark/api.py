@@ -129,15 +129,25 @@ class OSM:
 
     def get_network(self, network_type: str = "walking",
                     nodes: bool = False, timestamp=None,
-                    custom_filter=None, tags_to_keep=None,
-                    extra_attributes=None):
+                    custom_filter=None, filter_type=None,
+                    tags_to_keep=None, extra_attributes=None):
         """pyrosm.py:314-497. Returns edges, or (nodes, edges) when
-        ``nodes=True`` (segment-level with u/v/length)."""
+        ``nodes=True`` (segment-level with u/v/length). ``filter_type``
+        overrides the custom filter's default direction (dict →
+        'exclude', advanced → 'keep'); a dict filter's keys are exposed
+        as presentation columns too (pyrosm.py:455-459)."""
         n, w, _ = self._src(timestamp)
         tc = self._tag_cols(("highway",), tags_to_keep, extra_attributes)
+        if custom_filter is not None:
+            from pyrosm_spark.functions.filters import compile_custom_filter
+            cf = compile_custom_filter(custom_filter)
+            for key in cf.keys() if hasattr(cf, "keys") else []:
+                if key not in tc:
+                    tc.append(key)
         kw = {"tag_cols": tc}
         return _get_network(n, w, network_type, custom_filter=custom_filter,
-                            bbox=self.bounding_box, with_nodes=nodes, **kw)
+                            bbox=self.bounding_box, with_nodes=nodes,
+                            filter_type=filter_type, **kw)
 
     def get_buildings(self, custom_filter=None, timestamp=None,
                    tags_to_keep=None, extra_attributes=None) -> DataFrame:

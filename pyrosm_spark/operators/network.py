@@ -35,14 +35,24 @@ def filter_network_ways(
     ways: DataFrame,
     network_type: str = "driving",
     custom_filter=None,
+    filter_type: str | None = None,
 ) -> DataFrame:
     """Select network ways. Presets are EXCLUDE filters gated on the
     ``highway`` key (networks.py:21-33, filter_type='exclude',
     osm_keys='highway'); an advanced custom filter selects by its own
-    positive keys with KEEP semantics (pyrosm.py:409-429)."""
+    positive keys with KEEP semantics; an explicit ``filter_type``
+    overrides the default — a plain dict with ``filter_type='keep'``
+    keeps exactly the listed highway values (pyrosm.py:409-429)."""
     if custom_filter is not None:
         cf = compile_custom_filter(custom_filter)
-        ftype = "keep" if isinstance(cf, CompiledFilter) else "exclude"
+        if filter_type is None:
+            ftype = "keep" if isinstance(cf, CompiledFilter) else "exclude"
+        else:
+            ftype = filter_type.lower()
+            if ftype not in ("keep", "exclude"):
+                raise ValueError(
+                    "'filter_type' -parameter should be either "
+                    "'keep' or 'exclude'. ")
         osm_keys = None if isinstance(cf, CompiledFilter) else ["highway"]
         pred = element_filter_column(
             F.col("tags"), cf, osm_keys=osm_keys, filter_type=ftype
@@ -109,6 +119,7 @@ def get_network(
     bbox: tuple | None = None,
     with_nodes: bool = False,
     tag_cols=NETWORK_TAG_COLS,
+    filter_type: str | None = None,
 ):
     """Edge list for a travel network.
 
@@ -118,7 +129,7 @@ def get_network(
     are every endpoint referenced by a kept edge (J9 retention,
     frames.pyx:243-253).
     """
-    w = filter_network_ways(ways, network_type, custom_filter)
+    w = filter_network_ways(ways, network_type, custom_filter, filter_type)
 
     if bbox is not None:
         w = ways_in_bbox(w, nodes, bbox)

@@ -254,3 +254,152 @@ def test_pois_multiple_filters(osm_helsinki):
             for r in gdf.select("amenity").distinct().collect()}
     assert shop - {None} == {"alcohol"}
     assert amen - {None} == {"pub"}
+
+
+# --- custom criteria (test_custom_filter.py:63-159) ------------------------
+
+@needs_fixtures
+def test_custom_criteria_exclude_residential(osm_test):
+    gdf = osm_test.get_data_by_custom_criteria(
+        custom_filter={"building": ["residential"]},
+        filter_type="exclude",
+        osm_keys_to_keep="building",
+        tags_as_columns=["building"],
+    )
+    assert gdf.count() == 1054
+    # The reference's allowed-columns contract, plus lat/lon: this
+    # engine's union schema is static (a distributed frame's columns
+    # cannot depend on whether the node part happened to be empty), so
+    # the node-feature coordinate columns are always present.
+    allowed = {"geometry", "tags", "building", "id", "osm_type",
+               "version", "timestamp", "changeset", "lat", "lon"}
+    assert set(gdf.columns) <= allowed
+    vals = {r["building"]
+            for r in gdf.select("building").distinct().collect()}
+    assert "residential" not in vals
+
+
+@needs_fixtures
+def test_custom_criteria_keep_retail(osm_test):
+    gdf = osm_test.get_data_by_custom_criteria(
+        custom_filter={"building": ["retail"]},
+        filter_type="keep",
+        osm_keys_to_keep="building",
+        tags_as_columns=["building"],
+    )
+    assert gdf.count() == 2
+    vals = {r["building"]
+            for r in gdf.select("building").distinct().collect()}
+    assert vals == {"retail"}
+
+
+# --- advanced filters (test_advanced_filter.py:242-310) --------------------
+
+@needs_fixtures
+def test_regex_value_union_matches_literal_union(osm_helsinki):
+    """issue #116: a regex matching several alternatives equals the
+    literal union a plain dict expresses."""
+    import re
+
+    regex = osm_helsinki.get_data_by_custom_criteria(
+        custom_filter={"highway": [re.compile("footway|cycleway")]})
+    literal = osm_helsinki.get_data_by_custom_criteria(
+        custom_filter={"highway": ["footway", "cycleway"]})
+    ra = {r["id"] for r in regex.select("id").collect()}
+    la = {r["id"] for r in literal.select("id").collect()}
+    assert ra == la and len(ra) > 0
+
+
+@needs_fixtures
+def test_regex_matches_semicolon_joined_value(osm_helsinki):
+    """issue #116: a regex matches a ;-joined multi-value tag via
+    substring where the literal exact match misses it."""
+    import re
+
+    regex = osm_helsinki.get_data_by_custom_criteria(
+        custom_filter={"surface": [re.compile("cobblestone")]})
+    literal = osm_helsinki.get_data_by_custom_criteria(
+        custom_filter={"surface": ["cobblestone"]})
+    rs = {r["surface"]
+          for r in regex.select("surface").distinct().collect()} - {None}
+    ls = {r["surface"]
+          for r in literal.select("surface").distinct().collect()} - {None}
+    assert "paved;cobblestone" in rs
+    assert "paved;cobblestone" not in ls
+
+
+@needs_fixtures
+def test_network_bracket_union_matches_dict(spark):
+    """issue #341: a list of bracket strings (OR) equals the dict form
+    with filter_type='keep'."""
+    bracket = OSM(spark, REF_HELSINKI_PBF).get_network(
+        custom_filter=['["highway"~"^footway$"]', '["highway"~"^cycleway$"]'],
+        filter_type="keep")
+    plain = OSM(spark, REF_HELSINKI_PBF).get_network(
+        custom_filter={"highway": ["footway", "cycleway"]},
+        filter_type="keep")
+    bi = {r["id"] for r in bracket.select("id").collect()}
+    pi = {r["id"] for r in plain.select("id").collect()}
+    assert bi == pi and len(bi) > 0
+    hw = {r["highway"]
+          for r in bracket.select("highway").distinct().collect()}
+    assert hw <= {"footway", "cycleway"}
+
+
+@needs_fixtures
+def test_network_and_condition_is_subset(spark):
+    """issue #341 AND case: both brackets together select a subset of
+    the first bracket alone, and every kept way carries the second
+    bracket's key."""
+    both = OSM(spark, REF_HELSINKI_PBF).get_network(
+        custom_filter='["highway"~"path|footway"]["bicycle"~"."]',
+        filter_type="keep")
+    first = OSM(spark, REF_HELSINKI_PBF).get_network(
+        custom_filter='["highway"~"path|footway"]', filter_type="keep")
+    bi = {r["id"] for r in both.select("id").collect()}
+    fi = {r["id"] for r in first.select("id").collect()}
+    assert bi and bi <= fi
+    assert both.filter(F.col("bicycle").isNull()).count() == 0
+
+
+@needs_fixtures
+def test_network_non_highway_key(spark):
+    """issue #341: an advanced filter selects by its own positive keys,
+    so a railway network is expressible."""
+    rail = OSM(spark, REF_HELSINKI_PBF).get_network(
+        custom_filter='["railway"~"subway|tram|rail"]', filter_type="keep")
+    assert rail.count() > 0
+    assert "railway" in rail.columns
+    assert rail.filter(F.col("railway").isNull()).count() == 0
+
+
+# --- complete relations (test_complete_relations.py:28-93) -----------------
+
+STRADDLING_BBOX = [24.94338, 60.17089, 24.95068, 60.17687]
+
+
+@needs_fixtures
+def test_complete_relations_fixes_straddling_buildings(spark):
+    """Relations cut by the box reassemble byte-identically to the
+    whole-file read when complete_relations=True, and most are broken
+    without it (the reference asserts normalized-geometry equality;
+    this engine's deterministic assembly makes the WKB byte-exact)."""
+    def rel_geoms(osm):
+        return {r["id"]: bytes(r["geometry"])
+                for r in osm.get_buildings()
+                .filter("osm_type = 'relation'")
+                .select("id", "geometry").collect()}
+
+    whole = rel_geoms(OSM(spark, REF_HELSINKI_PBF))
+    partial = rel_geoms(OSM(spark, REF_HELSINKI_PBF,
+                            bounding_box=STRADDLING_BBOX))
+    complete = rel_geoms(OSM(spark, REF_HELSINKI_PBF,
+                             bounding_box=STRADDLING_BBOX,
+                             complete_relations=True))
+    common = sorted(set(complete) & set(whole))
+    assert len(common) > 0
+    for rid in common:
+        assert complete[rid] == whole[rid]
+    n_fixed = sum(1 for rid in common
+                  if not (rid in partial and partial[rid] == whole[rid]))
+    assert n_fixed > 0
