@@ -403,3 +403,21 @@ def test_complete_relations_fixes_straddling_buildings(spark):
     n_fixed = sum(1 for rid in common
                   if not (rid in partial and partial[rid] == whole[rid]))
     assert n_fixed > 0
+
+
+# --- graph export (test_regressions.py:382-400, #117) ----------------------
+
+@needs_fixtures
+def test_networkx_export_sets_street_count(osm_test):
+    """#117 — the exported NetworkX graph carries a per-node
+    'street_count' attribute (streets incident to each intersection)
+    so OSMnx basic_stats works, on the reference's own fixture."""
+    nx = pytest.importorskip("networkx")
+
+    nodes, edges = osm_test.get_network("walking", nodes=True)
+    graph = osm_test.to_graph(nodes, edges, graph_type="networkx")
+    street_count = nx.get_node_attributes(graph, "street_count")
+    assert graph.number_of_nodes() > 0
+    assert len(street_count) == graph.number_of_nodes()
+    assert all(isinstance(c, int) and c >= 1
+               for c in street_count.values())
