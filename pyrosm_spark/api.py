@@ -37,6 +37,10 @@ def _validate_bbox(bounding_box):
     pass those to spatial_join.point_in_polygon_join instead."""
     if bounding_box is None:
         return None
+    if not isinstance(bounding_box, (list, tuple)):
+        raise ValueError(
+            "bounding_box should be a list, Shapely Polygon or a "
+            "Shapely LinearRing.")
     bb = list(bounding_box)
     if len(bb) != 4:
         raise ValueError(
@@ -44,7 +48,11 @@ def _validate_bbox(bounding_box):
             "coordinates: [minx, miny, maxx, maxy].")
     minx, miny, maxx, maxy = bb
     if minx >= maxx or miny >= maxy:
-        raise ValueError("Invalid bounding box: min >= max.")
+        raise ValueError(
+            f"Invalid bounding box {bounding_box}: expected "
+            "[minx, miny, maxx, maxy] with minx < maxx and miny < maxy. "
+            "Please double-check the order of the coordinates (they may "
+            "be swapped/inverted).")
     return (minx, miny, maxx, maxy)
 
 

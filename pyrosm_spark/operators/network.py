@@ -43,6 +43,9 @@ def filter_network_ways(
     positive keys with KEEP semantics; an explicit ``filter_type``
     overrides the default — a plain dict with ``filter_type='keep'``
     keeps exactly the listed highway values (pyrosm.py:409-429)."""
+    network_filter(network_type)  # validates even with a custom filter
+    #                               (pyrosm.py:443-445: network_type
+    #                               still drives graph semantics)
     if custom_filter is not None:
         cf = compile_custom_filter(custom_filter)
         if filter_type is None:

@@ -31,8 +31,20 @@ _CYCLE_EXCLUDE_HIGHWAY = [
 ]
 
 
+_NETWORK_TYPES = ("walking", "driving", "driving+psv", "driving+service",
+                  "cycling", "all")
+
+
 def network_filter(network_type: str) -> dict | None:
-    """Exclude-filter dict per network type (config/osm_filters.py)."""
+    """Exclude-filter dict per network type (config/osm_filters.py).
+    Unknown/non-string types raise the reference's error shape
+    (pyrosm.py:273-284, case-insensitive)."""
+    if not isinstance(network_type, str) or (
+            network_type.lower() not in _NETWORK_TYPES):
+        raise ValueError(
+            "'network_type' should be one of the following: "
+            + ", ".join(_NETWORK_TYPES))
+    network_type = network_type.lower()
     # "driving+service" is the user-facing alias the reference maps to
     # its psv-inclusive driving filter (pyrosm.py:290-291)
     if network_type in ("driving", "driving+psv", "driving+service"):
@@ -61,9 +73,7 @@ def network_filter(network_type: str) -> dict | None:
             "bicycle": ["no"],
             "service": ["private"],
         }
-    if network_type == "all":
-        return None  # every highway way
-    raise ValueError(f"unknown network_type {network_type!r}")
+    return None  # "all": every highway way
 
 
 # direction-override suffix per network type (graphs.py:36-130: cycling

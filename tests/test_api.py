@@ -32,7 +32,7 @@ def ids(df):
 def test_bbox_validation(spark, synth_dir):
     with pytest.raises(ValueError, match="4 coordinates"):
         OSM(spark, synth_dir, bounding_box=[1, 2, 3])
-    with pytest.raises(ValueError, match="min >= max"):
+    with pytest.raises(ValueError, match="swapped/inverted"):
         OSM(spark, synth_dir, bounding_box=[2, 0, 1, 1])
     with pytest.raises(ValueError, match="boolean"):
         OSM(spark, synth_dir, keep_metadata="yes")

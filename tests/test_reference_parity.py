@@ -421,3 +421,48 @@ def test_networkx_export_sets_street_count(osm_test):
     assert len(street_count) == graph.number_of_nodes()
     assert all(isinstance(c, int) and c >= 1
                for c in street_count.values())
+
+
+# --- distance (test_distance_calculation.py) -------------------------------
+
+def test_distance_calculations(spark):
+    """The reference's haversine golden values, to the same rounding,
+    across every unit (distance.py:38-74)."""
+    from pyrosm_spark.functions.distance import Unit, haversine
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 10.0, 10.0)],
+        "lat1 double, lon1 double, lat2 double, lon2 double")
+    units = [Unit.KILOMETERS, Unit.METERS, Unit.MILES,
+             Unit.NAUTICAL_MILES, Unit.FEET, Unit.INCHES]
+    row = df.select(*[
+        haversine(F.col("lat1"), F.col("lon1"),
+                  F.col("lat2"), F.col("lon2"), unit=u).alias(u)
+        for u in units]).collect()[0]
+    assert round(row[Unit.KILOMETERS], 5) == 1568.52272
+    assert round(row[Unit.METERS], 2) == 1568522.72
+    assert round(row[Unit.MILES], 6) == 974.634834
+    assert round(row[Unit.NAUTICAL_MILES], 5) == 846.93452
+    assert round(row[Unit.FEET], 0) == 5146072
+    assert round(row[Unit.INCHES], 0) == 61752863
+
+
+# --- error shapes (test_network_parsing.py:369-405) ------------------------
+
+@needs_fixtures
+def test_passing_incorrect_bounding_box(spark):
+    with pytest.raises(ValueError, match="bounding_box should be"):
+        OSM(spark, REF_TEST_PBF,
+            bounding_box="[26.94, 60.525, 26.96, 60.535]")
+
+
+@needs_fixtures
+def test_passing_incorrect_net_type(osm_test):
+    with pytest.raises(
+            ValueError,
+            match="'network_type' should be one of the following"):
+        osm_test.get_network("wrong_network")
+    with pytest.raises(
+            ValueError,
+            match="'network_type' should be one of the following"):
+        osm_test.get_network(42)
