@@ -466,3 +466,73 @@ def test_passing_incorrect_net_type(osm_test):
             ValueError,
             match="'network_type' should be one of the following"):
         osm_test.get_network(42)
+
+
+# --- to_pbf crop (test_pbf_export.py:75-114) -------------------------------
+
+CROP_BBOX = [24.9424, 60.1701, 24.9461, 60.1731]
+
+
+@needs_fixtures
+def test_to_pbf_roundtrip_readable(spark, tmp_path):
+    """Cropping the Helsinki fixture to a byte-level .osm.pbf and
+    re-reading it yields the same network as reading the source with
+    the same bounding box (complete-ways crop contract)."""
+    osm = OSM(spark, REF_HELSINKI_PBF, bounding_box=CROP_BBOX)
+    out = osm.to_pbf(str(tmp_path / "crop.osm.pbf"))
+    cropped = OSM(spark, out)
+    net = cropped.get_network()
+    assert net.count() > 0
+    assert cropped.get_buildings().count() > 0
+    ref = OSM(spark, REF_HELSINKI_PBF,
+              bounding_box=CROP_BBOX).get_network()
+    assert net.count() == ref.count()
+
+
+@needs_fixtures
+def test_to_pbf_exact_selection_contract(spark, tmp_path):
+    """The cropped file holds exactly the complete-ways selection: ways
+    with >=1 in-box node, plus in-box nodes and every ref of a kept way
+    that exists in the source (test_pbf_export.py:96-114)."""
+    from pyrosm_spark.sources import pbf as pbfmod
+
+    def read_elements(path):
+        with open(path, "rb") as f:
+            data = f.read()
+        node_ids, way_refs = set(), {}
+        for typ, off, ln in pbfmod.iter_blob_index(path):
+            if typ != "OSMData":
+                continue
+            dec = pbfmod.decode_primitive_block(
+                pbfmod.decompress_blob(data[off:off + ln]))
+            if "nodes" in dec:
+                node_ids.update(int(i) for i in dec["nodes"]["id"])
+                for i, lon, lat in zip(dec["nodes"]["id"],
+                                       dec["nodes"]["lon"],
+                                       dec["nodes"]["lat"]):
+                    coords[int(i)] = (lon, lat)
+            if "ways" in dec:
+                for _, row in dec["ways"].iterrows():
+                    way_refs[int(row["id"])] = [int(r)
+                                                for r in row["refs"]]
+        return node_ids, way_refs
+
+    coords = {}
+    src_nodes, src_ways = read_elements(REF_HELSINKI_PBF)
+    xmin, ymin, xmax, ymax = CROP_BBOX
+    nodes_in = {i for i, (lon, lat) in coords.items()
+                if xmin <= lon <= xmax and ymin <= lat <= ymax}
+    expected_ways = {w for w, refs in src_ways.items()
+                     if any(r in nodes_in for r in refs)}
+    expected_nodes = set(nodes_in)
+    for w in expected_ways:
+        expected_nodes.update(src_ways[w])
+    expected_nodes &= src_nodes
+
+    osm = OSM(spark, REF_HELSINKI_PBF, bounding_box=CROP_BBOX)
+    out = osm.to_pbf(str(tmp_path / "crop.osm.pbf"))
+    coords = {}
+    out_nodes, out_ways = read_elements(out)
+    assert set(out_ways) == expected_ways
+    assert out_nodes == expected_nodes
+    assert nodes_in <= out_nodes
