@@ -536,3 +536,73 @@ def test_to_pbf_exact_selection_contract(spark, tmp_path):
     assert set(out_ways) == expected_ways
     assert out_nodes == expected_nodes
     assert nodes_in <= out_nodes
+
+
+# --- #144 geometry typing (test_geometry.py:41-110) ------------------------
+
+def _wkb_type(b):
+    import struct
+
+    return struct.unpack("<I", bytes(b)[1:5])[0]
+
+
+WKB_LINESTRING, WKB_POLYGON = 2, 3
+
+
+@needs_fixtures
+def test_custom_filter_highway_does_not_linestringify_polygons(osm_test):
+    """#144 — the polygon-vs-line decision is per-way (its own tags),
+    so adding 'highway' to a filter must not flip building polygons."""
+    buildings = osm_test.get_data_by_custom_criteria(
+        custom_filter={"building": True}, filter_type="keep")
+    rows = buildings.select("geometry").collect()
+    assert len(rows) == 2208
+    assert {_wkb_type(r["geometry"]) for r in rows} == {WKB_POLYGON}
+
+    combined = osm_test.get_data_by_custom_criteria(
+        custom_filter={"building": True, "highway": True},
+        filter_type="keep")
+    brows = combined.filter(F.col("building").isNotNull()) \
+        .select("geometry").collect()
+    assert len(brows) == 2208
+    assert {_wkb_type(r["geometry"]) for r in brows} == {WKB_POLYGON}
+
+
+@needs_fixtures
+def test_closed_highway_without_area_is_linestring(osm_helsinki):
+    """#144 — a closed highway way without area=yes (service roundabout
+    8035241) stays a line in feature extraction."""
+    gdf = osm_helsinki.get_data_by_custom_criteria(
+        custom_filter={"highway": True}, filter_type="keep")
+    rows = gdf.filter("osm_type = 'way' AND id = 8035241") \
+        .select("geometry").collect()
+    assert len(rows) == 1
+    assert _wkb_type(rows[0]["geometry"]) == WKB_LINESTRING
+
+
+@needs_fixtures
+def test_closed_highway_area_yes_is_polygon(osm_helsinki):
+    """#144 — closed highway ways tagged area=yes (plazas 4369051,
+    18379563) are typed Polygon; all area=yes ways are polygons."""
+    gdf = osm_helsinki.get_data_by_custom_criteria(
+        custom_filter={"highway": True}, filter_type="keep")
+    ways = gdf.filter("osm_type = 'way'")
+    for plaza_id in (4369051, 18379563):
+        rows = ways.filter(f"id = {plaza_id}") \
+            .select("geometry", "area").collect()
+        assert len(rows) == 1
+        assert rows[0]["area"] == "yes"
+        assert _wkb_type(rows[0]["geometry"]) == WKB_POLYGON
+    area_rows = ways.filter("area = 'yes'").select("geometry").collect()
+    assert len(area_rows) > 0
+    assert {_wkb_type(r["geometry"]) for r in area_rows} == {WKB_POLYGON}
+
+
+@needs_fixtures
+def test_network_extraction_keeps_areas_as_lines(osm_helsinki):
+    """#144 guard — the network path NEVER yields polygons, even for
+    area=yes plazas (a polygon is not routable)."""
+    edges = osm_helsinki.get_network("all")
+    types = {_wkb_type(r["geometry"])
+             for r in edges.select("geometry").collect()}
+    assert WKB_POLYGON not in types
