@@ -82,6 +82,9 @@ class OSM:
         self.bounding_box = _validate_bbox(bounding_box)
         self.keep_metadata = keep_metadata
         self.complete_relations = complete_relations
+        # reference pyrosm.py:185 — opt-in 'nodes' (way-refs) column on
+        # feature frames; set osm.keep_node_info = True to keep it
+        self.keep_node_info = False
         self._tables = None
         # per-instance conf (reference pyrosm.py: self.conf = Conf):
         # mutations like osm.conf.tags.highway.append(...) widen that
@@ -155,7 +158,8 @@ class OSM:
         kw = {"tag_cols": tc}
         return _get_network(n, w, network_type, custom_filter=custom_filter,
                             bbox=self.bounding_box, with_nodes=nodes,
-                            filter_type=filter_type, **kw)
+                            filter_type=filter_type,
+                            keep_refs=self.keep_node_info, **kw)
 
     def get_buildings(self, custom_filter=None, timestamp=None,
                    tags_to_keep=None, extra_attributes=None) -> DataFrame:
@@ -165,7 +169,8 @@ class OSM:
             keep_metadata=self.keep_metadata,
             tag_cols=self._tag_cols(("building",), tags_to_keep,
                                     extra_attributes),
-            complete_relations=self.complete_relations)
+            complete_relations=self.complete_relations,
+            keep_refs=self.keep_node_info)
 
     def get_pois(self, custom_filter=None, timestamp=None,
                    tags_to_keep=None, extra_attributes=None) -> DataFrame:
@@ -175,7 +180,8 @@ class OSM:
             keep_metadata=self.keep_metadata,
             tag_cols=self._tag_cols(("amenity", "shop", "tourism"),
                                     tags_to_keep, extra_attributes),
-            complete_relations=self.complete_relations)
+            complete_relations=self.complete_relations,
+            keep_refs=self.keep_node_info)
 
     def get_landuse(self, custom_filter=None, timestamp=None,
                     tags_to_keep=None, extra_attributes=None) -> DataFrame:
@@ -185,7 +191,8 @@ class OSM:
             keep_metadata=self.keep_metadata,
             tag_cols=self._tag_cols(("landuse",), tags_to_keep,
                                     extra_attributes),
-            complete_relations=self.complete_relations)
+            complete_relations=self.complete_relations,
+            keep_refs=self.keep_node_info)
 
     def get_natural(self, custom_filter=None, timestamp=None,
                     tags_to_keep=None, extra_attributes=None) -> DataFrame:
@@ -195,7 +202,8 @@ class OSM:
             keep_metadata=self.keep_metadata,
             tag_cols=self._tag_cols(("natural",), tags_to_keep,
                                     extra_attributes),
-            complete_relations=self.complete_relations)
+            complete_relations=self.complete_relations,
+            keep_refs=self.keep_node_info)
 
     def get_boundaries(self, boundary_type: str = "administrative",
                        name: str | None = None, custom_filter=None,

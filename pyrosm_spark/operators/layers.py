@@ -67,6 +67,7 @@ def get_layer(
     tag_cols=(),
     osm_keys=None,
     keep_metadata: bool = True,
+    keep_refs: bool = False,
 ) -> DataFrame:
     """Generic layer query (get_data_by_custom_criteria equivalent,
     pyrosm.py:1027-1185). Returns a unioned feature DataFrame with
@@ -127,8 +128,12 @@ def get_layer(
     way_feats = (
         w.filter(F.col("geometry").isNotNull())
         .withColumn("osm_type", F.lit("way"))
-        .drop(geom.PTS_FIELD, "refs", "_poly", *meta_drop)
+        .drop(geom.PTS_FIELD, "_poly", *meta_drop)
     )
+    # keep_refs = the reference's OSM.keep_node_info: way features
+    # expose their ref list as a 'nodes' column (pyrosm.py:185,583)
+    way_feats = (way_feats.withColumnRenamed("refs", "nodes")
+                 if keep_refs else way_feats.drop("refs"))
     parts.append(way_feats)
 
     # --- node features ----------------------------------------------------

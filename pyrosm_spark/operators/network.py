@@ -123,6 +123,7 @@ def get_network(
     with_nodes: bool = False,
     tag_cols=NETWORK_TAG_COLS,
     filter_type: str | None = None,
+    keep_refs: bool = False,
 ):
     """Edge list for a travel network.
 
@@ -155,7 +156,10 @@ def get_network(
         # never visible (its tests pin 19/21/22 columns; data_filter
         # treats visible as internal-only — it drives history/delete
         # filtering upstream, then leaves the presentation frame).
-        return edges.drop(geom.PTS_FIELD, "refs", "visible")
+        # keep_refs mirrors OSM.keep_node_info (pyrosm.py:185,490).
+        edges = edges.drop(geom.PTS_FIELD, "visible")
+        return (edges.withColumnRenamed("refs", "nodes")
+                if keep_refs else edges.drop("refs"))
 
     # segment-level path (networks nodes=True; frames.pyx:79-99):
     # per-way consecutive pairs -> posexplode; no extra shuffle (W2 is

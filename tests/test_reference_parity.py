@@ -606,3 +606,22 @@ def test_network_extraction_keeps_areas_as_lines(osm_helsinki):
     types = {_wkb_type(r["geometry"])
              for r in edges.select("geometry").collect()}
     assert WKB_POLYGON not in types
+
+
+# --- keep_node_info (pyrosm.py:185,490,583) --------------------------------
+
+@needs_fixtures
+def test_keep_node_info_exposes_way_refs(spark):
+    """The reference's opt-in: osm.keep_node_info = True keeps the way
+    frames' ref list as a 'nodes' column; the default drops it."""
+    osm = OSM(spark, REF_TEST_PBF)
+    assert "nodes" not in osm.get_buildings().columns
+    osm.keep_node_info = True
+    gdf = osm.get_buildings()
+    assert "nodes" in gdf.columns
+    assert gdf.count() == 2208
+    row = gdf.filter("nodes is not null") \
+        .select("nodes").limit(1).collect()[0]
+    assert len(row["nodes"]) >= 2
+    net = osm.get_network("walking")
+    assert "nodes" in net.columns and net.count() == 238
