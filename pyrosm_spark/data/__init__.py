@@ -31,9 +31,27 @@ import os
 __all__ = ["available", "get_data", "get_path", "list_downloads",
            "clear_downloads"]
 
-_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-_SYNTH_DIR = os.path.join(_REPO, "data", "synth")
+def _default_synth_dir() -> str:
+    """Writable materialization dir. ``PYROSM_SPARK_DATA_DIR`` wins;
+    otherwise ``<repo>/data/synth`` — unless the package was shipped
+    inside an archive (``spark-submit --py-files pyrosm_spark.zip``
+    puts ``__file__`` INSIDE the zip, where nothing is writable), in
+    which case a per-user temp dir is used."""
+    env = os.environ.get("PYROSM_SPARK_DATA_DIR")
+    if env:
+        return os.path.join(env, "synth")
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if os.path.isdir(repo):
+        return os.path.join(repo, "data", "synth")
+    import getpass
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(),
+                        f"pyrosm_spark_data_{getpass.getuser()}", "synth")
+
+
+_SYNTH_DIR = _default_synth_dir()
 
 # a few well-known reference catalog names, recognized for a targeted
 # error message (reference data/__init__.py:137-150 'available' groups)
@@ -91,10 +109,22 @@ def get_data(dataset: str, update: bool = False,
     if name in _BUNDLED:
         _desc, fn = _BUNDLED[name]
         if update:
-            path = (os.path.join(_SYNTH_DIR, "world.osm.pbf")
-                    if fn is _ensure_synth_pbf else None)
-            if path and os.path.exists(path):
-                os.remove(path)
+            # force re-materialization of EVERY artifact the
+            # materializer skips-if-present: the pbf container AND the
+            # parquet element tables it derives from (ensure_osm_tables
+            # regenerates when any table file is missing)
+            import shutil
+
+            pbf = os.path.join(_SYNTH_DIR, "world.osm.pbf")
+            if os.path.exists(pbf):
+                os.remove(pbf)
+            for t in ("osm_nodes", "osm_ways", "osm_relations",
+                      "osm_nodes_history"):
+                p = os.path.join(_SYNTH_DIR, f"{t}.parquet")
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                elif os.path.exists(p):
+                    os.remove(p)
         return fn()
     if name in _REMOTE_HINTS or "/" in name:
         raise ValueError(

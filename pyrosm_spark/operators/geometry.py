@@ -263,11 +263,12 @@ def _way_wkb_from_arrays(lons: pd.Series, lats: pd.Series,
     is_closed = (x[first_i] == x[last_i]) & (y[first_i] == y[last_i])
     # Ring viability mirrors the reference's CREATION-level rule
     # (geometry.pyx:361-378 create_polygon_geometry): a ring fails only
-    # when GEOS would refuse to build it — fewer than 4 points after
-    # auto-closing (i.e. <3 resolved, or exactly 3 resolved already
-    # closed) — or when every vertex is identical (the degenerate case
-    # the reference's batched builder demotes and the per-way builder
-    # returns None for). Zero-AREA rings with >=4 distinct-ish points
+    # when fewer than 3 vertices resolve, or when every vertex is
+    # identical (the degenerate case the reference's batched builder
+    # demotes and the per-way builder returns None for). A closed
+    # 3-vertex ring ([A, B, A]) is BUILT — the reference's own fixture
+    # goldens count such slivers (see the npts<4 pad below).
+    # Zero-AREA rings with >=4 distinct-ish points
     # (collinear slivers at a cropped extract's edge) are still BUILT,
     # exactly as shapely/GEOS builds them without validation; its
     # tests' golden counts (2208 buildings on test.osm.pbf) require
@@ -301,10 +302,13 @@ def _way_wkb_from_arrays(lons: pd.Series, lats: pd.Series,
         body = ring.tobytes() if is_closed[i] else (
             ring.tobytes() + ring[:1].tobytes())
         if npts < 4:
-            # already-closed 3-point sliver (a cropped extract's edge):
-            # the reference still materializes the feature; pad with the
-            # closure vertex so the WKB ring meets the 4-point spec
-            # minimum.
+            # already-closed 3-point sliver (e.g. a way whose missing
+            # ref collapsed it to [A, B, A]): the reference's GEOS
+            # constructor still builds these (its own fixture goldens
+            # — 2208 buildings / 51 landuse on test.osm.pbf — COUNT
+            # them); pad with the closure vertex so the WKB ring
+            # meets the 4-point spec minimum. Dropping instead breaks
+            # test_reference_parity golden counts by 15 buildings.
             body += ring[:1].tobytes()
             npts += 1
         out.append(hdr_poly + struct.pack("<I", npts) + body)

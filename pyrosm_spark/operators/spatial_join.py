@@ -32,6 +32,63 @@ from pyrosm_spark.functions.distance import haversine_m
 from pyrosm_spark.functions.tiles import _RES_SHIFT, _X_SHIFT  # noqa: F401
 
 
+_PINNED: dict[str, list] = {}
+
+
+def _pin(tag: str, df: DataFrame) -> DataFrame:
+    """``persist()`` with a lifecycle: frames pinned under ``tag``
+    accumulate for the CURRENT call and are released when the next
+    call to the same operator begins (:func:`_release_pins`), or
+    explicitly via :func:`release_pinned_caches`. Without this, every
+    PIP/kNN call in a long-lived session pins a fresh
+    MEMORY_AND_DISK entry forever (storage-memory churn at scale).
+    A previously returned DataFrame stays CORRECT after its pins are
+    released — its plan simply recomputes instead of reading cache."""
+    _PINNED.setdefault(tag, []).append(df.persist())
+    return df
+
+
+def _release_pins(tag: str) -> None:
+    for old in _PINNED.pop(tag, []):
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # session may already be stopped
+
+
+def release_pinned_caches() -> None:
+    """Unpersist every frame any spatial-join operator has pinned —
+    call between pipeline stages to hand storage memory back."""
+    for tag in list(_PINNED):
+        _release_pins(tag)
+
+
+def _left_extend_points(points: DataFrame, matched: DataFrame,
+                        point_id_col: str | None, res: int,
+                        lon_col: str, lat_col: str) -> DataFrame:
+    """``how="left"`` completion for the PIP joins: matched rows
+    (the inner-join result) unioned with every point that matched NO
+    polygon, polygon-side columns null. Unmatched detection is a
+    LEFT-ANTI SEMI-JOIN on a caller-named unique point id — never a
+    per-point aggregation over the candidate set — so the extra cost
+    at scale is one hash semi-join on the id, not a second refine."""
+    if point_id_col is None or point_id_col not in points.columns:
+        raise ValueError(
+            "how='left' needs point_id_col naming a unique point id "
+            f"column present in points (got {point_id_col!r})")
+    unmatched = points.join(
+        matched.select(point_id_col), point_id_col, "left_anti")
+    if "cell" in matched.columns and "cell" not in unmatched.columns:
+        # unmatched rows still carry their own res-level cell (the
+        # tile-assignment contract: EVERY row gets a tile)
+        unmatched = assign_tiles(unmatched, res, lon_col, lat_col)
+    for fld in matched.schema.fields:
+        if fld.name not in unmatched.columns:
+            unmatched = unmatched.withColumn(
+                fld.name, F.lit(None).cast(fld.dataType))
+    return matched.unionByName(unmatched.select(matched.columns))
+
+
 def assign_tiles(points: DataFrame, res: int, lon_col: str = "lon",
                  lat_col: str = "lat", out_col: str = "cell") -> DataFrame:
     """Tile-assignment: every point row gets its int64 cell id. Pure
@@ -404,6 +461,7 @@ def point_in_polygon_join_compact(
     how: str = "inner",
     refine: str = "native",
     max_cover_cells: int = 4096,
+    point_id_col: str | None = None,
 ) -> DataFrame:
     """:func:`point_in_polygon_join` for LARGE polygons: the cover is
     compacted to mixed resolutions, and points join by computing their
@@ -430,6 +488,9 @@ def point_in_polygon_join_compact(
             f"id_cols {id_cols} not found in polygons {polygons.columns}")
     if refine not in ("native", "arrow"):
         raise ValueError(f"unknown refine {refine!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown how {how!r} (inner|left)")
+    in_points = points
     if "bbox" not in polygons.columns:
         polygons = polygons.withColumn("bbox", wkb_bbox(F.col("geometry")))
     if refine == "native":
@@ -439,8 +500,10 @@ def point_in_polygon_join_compact(
     # the point side by construction. It is evaluated several times
     # below (compaction's per-level jobs, the levels collect, the final
     # payload join); persist it once so the WKB bbox/segment kernels
-    # don't re-run per action (MEMORY_AND_DISK, LRU-evictable).
-    polygons = polygons.persist()
+    # don't re-run per action (MEMORY_AND_DISK, LRU-evictable; pinned
+    # per-call, released when the next compact join begins).
+    _release_pins("pip_compact")
+    polygons = _pin("pip_compact", polygons)
     # per-polygon effective resolution: drop one level per factor-4
     # overshoot of the cell budget (closed-form from the bbox alone)
     ncells = cover_size_expr("bbox", res).cast("double")
@@ -456,7 +519,8 @@ def point_in_polygon_join_compact(
     # 4,096 cap even before the cap's one-level slack; the dyn-cover
     # explode emits distinct cells per feature by construction
     compacted = compact_cover_uniform(
-        cover, key_cols=keys, assume_distinct=True).persist()
+        cover, key_cols=keys, assume_distinct=True)
+    compacted = _pin("pip_compact", compacted)
     levels = sorted(
         r[0] for r in compacted.select(
             tiles.cell_res(F.col("cell")).alias("r")).distinct().collect()
@@ -485,12 +549,17 @@ def point_in_polygon_join_compact(
                                  F.col("poly_bbox.ymax"))
     )
     if refine == "native":
-        return cand.filter(
+        refined = cand.filter(
             native_pip_predicate(lon_col, lat_col)).drop("_segsets")
-    return cand.filter(
-        point_in_wkb_polygon(F.col(lon_col), F.col(lat_col),
-                             F.col("poly_geometry"))
-    )
+    else:
+        refined = cand.filter(
+            point_in_wkb_polygon(F.col(lon_col), F.col(lat_col),
+                                 F.col("poly_geometry"))
+        )
+    if how == "left":
+        return _left_extend_points(in_points, refined, point_id_col,
+                                   res, lon_col, lat_col)
+    return refined
 
 
 def point_in_polygon_join(
@@ -503,6 +572,7 @@ def point_in_polygon_join(
     point_salt: int = 0,
     how: str = "inner",
     refine: str = "native",
+    point_id_col: str | None = None,
 ) -> DataFrame:
     """J10 at scale: points x polygon-features via cell equi-join + exact
     ray-cast refine.
@@ -513,6 +583,11 @@ def point_in_polygon_join(
       side is replicated salt-fold so one hot cell (a dense city tile)
       spreads over ``point_salt`` reducers — the explicit skew-handling
       path when AQE skew-join alone can't split a single key.
+    * ``how`` — ``"inner"`` (default) emits matched pairs only;
+      ``"left"`` additionally retains every point that hit NO polygon
+      (polygon columns null) so EVERY input row keeps a tile — requires
+      ``point_id_col`` naming a unique point id (unmatched detection is
+      a left-anti semi-join on the id, not a per-point aggregation).
     * ``refine`` — ``"native"`` (default) evaluates the exact ray cast
       as a Catalyst expression over per-polygon segment arrays decoded
       ONCE on the polygon side: the per-candidate hot path stays inside
@@ -522,6 +597,8 @@ def point_in_polygon_join(
     """
     if refine not in ("native", "arrow"):
         raise ValueError(f"unknown refine {refine!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown how {how!r} (inner|left)")
     pts = assign_tiles(points, res, lon_col, lat_col)
     if refine == "native":
         polygons = polygons.withColumn(
@@ -561,7 +638,12 @@ def point_in_polygon_join(
         refined = cand.filter(
             point_in_wkb_polygon(F.col(lon_col), F.col(lat_col), F.col(geo))
         )
-    return refined.drop("_salt") if point_salt and point_salt > 1 else refined
+    if point_salt and point_salt > 1:
+        refined = refined.drop("_salt")
+    if how == "left":
+        return _left_extend_points(points, refined, point_id_col,
+                                   res, lon_col, lat_col)
+    return refined
 
 
 def cover_size_expr(bbox_col: str, res: int) -> F.Column:
@@ -614,7 +696,9 @@ def point_in_polygon_join_auto(
         polygons = polygons.withColumn("bbox", wkb_bbox(F.col("geometry")))
     # persisted: the routing probe + both route joins read this frame,
     # and the feature side is the small side of the join by construction
-    polygons = polygons.persist()
+    # (pinned per-call, released when the next auto join begins)
+    _release_pins("pip_auto")
+    polygons = _pin("pip_auto", polygons)
     size = cover_size_expr("bbox", res)
     small = polygons.filter(size <= max_cover_cells)
     large = polygons.filter(size > max_cover_cells)
@@ -839,8 +923,10 @@ def knn_join_complete(
     # persist the loop-carried frames: each level's emptiness probe and
     # the next level's join re-evaluate them, and the lineage otherwise
     # grows by one join+window PER LEVEL (the last probe would recompute
-    # every earlier pass)
-    results = base.persist()
+    # every earlier pass). Pinned per-call — released when the next
+    # knn_join_complete begins (or via release_pinned_caches()).
+    _release_pins("knn_complete")
+    results = _pin("knn_complete", base)
     remaining = points
     cur_res = res
     for _ in range(max_escalations):
@@ -850,8 +936,8 @@ def knn_join_complete(
             .filter(F.col("_n") >= k)
             .select(point_id_col)
         )
-        remaining = remaining.join(filled, point_id_col, "left_anti") \
-                             .persist()
+        remaining = _pin("knn_complete",
+                         remaining.join(filled, point_id_col, "left_anti"))
         cur_res = max(cur_res - 2, 2)
         # cheap emptiness probe: the under-filled subset only
         if remaining.limit(1).count() == 0:
@@ -860,9 +946,9 @@ def knn_join_complete(
                          point_id_col=point_id_col, **kw)
         # the wider pass REPLACES the under-filled points' rows (its
         # candidate set is a superset of the narrower pass')
-        results = results.join(
+        results = _pin("knn_complete", results.join(
             remaining.select(point_id_col), point_id_col, "left_anti"
-        ).unionByName(wider).persist()
+        ).unionByName(wider))
         if cur_res == 2:
             break
     return results

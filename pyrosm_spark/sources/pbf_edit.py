@@ -40,9 +40,9 @@ from pyrosm_spark.functions import geometry_np as G
 # derived columns)
 _RESERVED = {
     "id", "osm_type", "geometry", "bbox", "lon", "lat", "u", "v",
-    "length", "refs", "members", "version", "timestamp", "changeset",
-    "visible", "n_tags", "n_refs", "is_closed", "pts", "n_pts", "cell",
-    "tags",
+    "length", "refs", "nodes", "members", "version", "timestamp",
+    "changeset", "visible", "n_tags", "n_refs", "is_closed", "pts",
+    "n_pts", "cell", "tags",
 }
 
 

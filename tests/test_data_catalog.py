@@ -30,6 +30,22 @@ def test_get_data_pbf_loadable(spark):
     assert n > 0
 
 
+def test_get_data_update_rematerializes(spark):
+    """update=True must force regeneration of the parquet element
+    tables too (not only the pbf container): stale artifacts get a
+    fresh mtime."""
+    d = get_data("test_world")
+    marker = os.path.join(d, "osm_nodes.parquet")
+    before = os.path.getmtime(marker)
+    d2 = get_data("test_world", update=True)
+    assert d2 == d
+    assert os.path.exists(marker)
+    assert os.path.getmtime(marker) >= before
+    # and the pbf materializer still works after the wipe
+    p = get_data("test_pbf")
+    assert os.path.exists(p)
+
+
 def test_unknown_name_reference_error():
     with pytest.raises(ValueError, match="Could not retrieve url for"):
         get_data("atlantis")

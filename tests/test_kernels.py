@@ -223,6 +223,45 @@ def test_way_geometry_wkb_null_pts_yields_none(spark):
     assert out[4] is not None
 
 
+def test_way_geometry_closed_3pt_ring_padded(spark):
+    """A closed 3-point ring ([A, B, A] — e.g. a way whose missing ref
+    collapsed it) must still BUILD, padded to the 4-point WKB minimum:
+    the reference's own fixture goldens (2208 buildings on
+    test.osm.pbf) count such slivers, so dropping them breaks
+    test_reference_parity. An unclosed 3-point way closes to 4."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T2
+
+    from pyrosm_spark.operators import geometry as geom
+
+    pts_t = T2.ArrayType(T2.StructType([
+        T2.StructField("pos", T2.IntegerType()),
+        T2.StructField("ref", T2.LongType()),
+        T2.StructField("lon", T2.DoubleType()),
+        T2.StructField("lat", T2.DoubleType()),
+    ]))
+    rows = [
+        # closed sliver: A, B, back to A -> dropped
+        (1, [(0, 10, 0.0, 0.0), (1, 11, 1.0, 0.5), (2, 10, 0.0, 0.0)]),
+        # open triangle: closes to 4 points -> built
+        (2, [(0, 10, 0.0, 0.0), (1, 11, 1.0, 0.0), (2, 12, 0.5, 1.0)]),
+        # closed quad: 4 points incl. closure -> built
+        (3, [(0, 10, 0.0, 0.0), (1, 11, 1.0, 0.0), (2, 12, 0.5, 1.0),
+             (3, 10, 0.0, 0.0)]),
+    ]
+    df = spark.createDataFrame(
+        rows, T2.StructType([T2.StructField("id", T2.LongType()),
+                             T2.StructField("pts", pts_t)]))
+    out = {r["id"]: r["g"] for r in df.select(
+        "id", geom.way_geometry_wkb(F.col("pts"), F.lit(True)).alias("g")
+    ).collect()}
+    # all three build; every ring meets the 4-point WKB minimum
+    import struct as _struct
+    for i in (1, 2, 3):
+        assert out[i] is not None
+        assert _struct.unpack("<I", out[i][9:13])[0] == 4
+
+
 def test_infer_format_write_path_extension(tmp_path):
     """A not-yet-existing location with a data-file extension is a
     path, never an Iceberg identifier (write_table('out.parquet'))."""

@@ -492,6 +492,31 @@ def test_apply_feature_edits_updates_tags(spark, synth_dir):
     assert other > 0
 
 
+def test_feature_edits_skip_nodes_refs_columns(spark, synth_dir):
+    """keep_node_info feature frames carry a 'nodes' (way-refs)
+    array column — like 'refs'/'u'/'v' it is structural, NOT a tag:
+    the edited element must not grow a stringified tags['nodes']."""
+    from pyspark.sql import types as T2
+
+    from pyrosm_spark.sources.pbf_edit import apply_feature_edits
+
+    nodes, ways, rels = _edit_base(spark, synth_dir)
+    wid = int(ways.select("id").first()["id"])
+    edit = spark.createDataFrame(
+        [(wid, "way", "40", [101, 102, 103])],
+        T2.StructType([
+            T2.StructField("id", T2.LongType()),
+            T2.StructField("osm_type", T2.StringType()),
+            T2.StructField("maxspeed", T2.StringType()),
+            T2.StructField("nodes", T2.ArrayType(T2.LongType())),
+        ]))
+    _, w2, _ = apply_feature_edits(nodes, ways, rels, edit)
+    tags = w2.filter(F.col("id") == wid).select("tags").first()["tags"]
+    assert tags["maxspeed"] == "40"
+    assert "nodes" not in tags
+    assert "refs" not in tags
+
+
 def test_apply_feature_edits_synthesizes_new_elements(spark, synth_dir):
     """Rows with unknown ids synthesize new elements from geometry
     (pbf_writer.py:281-348): Point->node, LineString->way, hole-less

@@ -109,6 +109,39 @@ def test_pip_salted_equals_unsalted(spark, images, buildings):
     assert a == b
 
 
+def test_pip_left_join_retains_unmatched_points(spark, images, buildings):
+    """how='left': matched rows equal the inner join; every point that
+    hit no polygon survives with null polygon columns; total distinct
+    point ids == input point count (the 'every image row keeps a tile'
+    contract). Differential across uniform AND compact forms."""
+    from pyrosm_spark.operators.spatial_join import (
+        point_in_polygon_join_compact,
+    )
+
+    n_points = images.count()
+    inner = point_in_polygon_join(images, buildings, res=15)
+    inner_pairs = {(r["image_id"], r["poly_id"]) for r in
+                   inner.select("image_id", "poly_id").collect()}
+    for fn in (point_in_polygon_join, point_in_polygon_join_compact):
+        left = fn(images, buildings, res=15, how="left",
+                  point_id_col="image_id")
+        rows = left.select("image_id", "poly_id", "cell").collect()
+        got_pairs = {(r["image_id"], r["poly_id"]) for r in rows
+                     if r["poly_id"] is not None}
+        assert got_pairs == inner_pairs
+        assert len({r["image_id"] for r in rows}) == n_points
+        unmatched = [r for r in rows if r["poly_id"] is None]
+        assert unmatched  # synth world has points outside all buildings
+        matched_ids = {a for a, _ in inner_pairs}
+        for r in unmatched:
+            assert r["image_id"] not in matched_ids
+            assert r["cell"] is not None  # still tile-assigned
+    with pytest.raises(ValueError):
+        point_in_polygon_join(images, buildings, how="left")  # no id col
+    with pytest.raises(ValueError):
+        point_in_polygon_join(images, buildings, how="outer")
+
+
 def test_knn_matches_bruteforce_sample(spark, images, synth_dir):
     nodes_rows = oracle.load_rows(f"{synth_dir}/osm_nodes.parquet")
     pois = [n for n in nodes_rows
