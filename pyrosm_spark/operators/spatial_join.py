@@ -275,8 +275,11 @@ def native_pip_predicate(lon_col: str, lat_col: str,
     ``(y1 > py) != (y2 > py)`` and ``px < x_cross``, same expression
     order so float results are bit-identical). Inner CASE nesting
     keeps the division un-evaluated unless the crossing band matches
-    (band match implies y1 != y2), so ANSI mode never sees /0."""
-    px, py = F.col(lon_col), F.col(lat_col)
+    (band match implies y1 != y2), so ANSI mode never sees /0.
+    Coordinates may be column names or arbitrary Column expressions
+    (the raster join casts rays from computed tile corners)."""
+    px = F.col(lon_col) if isinstance(lon_col, str) else lon_col
+    py = F.col(lat_col) if isinstance(lat_col, str) else lat_col
 
     def seg_crossing(acc, s):
         band = (s.y1 > py) != (s.y2 > py)
@@ -756,6 +759,120 @@ def bbox_geometry_filter(features: DataFrame, bbox: tuple,
         ])
 
     return pre.filter(exact(F.col(geometry_col)))
+
+
+# --------------------------------------------------------------------------
+# Raster-tile <-> vector-polygon join
+# --------------------------------------------------------------------------
+
+def tile_rect(cell_col, res: int) -> tuple:
+    """(x0, y0, x1, y1) Column bounds of a raster tile from its int64
+    cell id at ``res`` — pure Catalyst arithmetic (the inverse of
+    ``cell_id``'s floor-quantization)."""
+    n = 1 << res
+    cell = F.col(cell_col) if isinstance(cell_col, str) else cell_col
+    x, y = tiles.cell_xy(cell)
+    x0 = x.cast("double") * F.lit(360.0 / n) - F.lit(180.0)
+    y0 = y.cast("double") * F.lit(180.0 / n) - F.lit(90.0)
+    return x0, y0, x0 + F.lit(360.0 / n), y0 + F.lit(180.0 / n)
+
+
+def _seg_rect_predicate(s, x0, y0, x1, y1) -> F.Column:
+    """Segment-vs-rect intersection with PER-ROW rect bounds — the
+    Column-bounds form of network._segment_intersects_box (same two
+    separating-axis tests, boundary touch counts)."""
+    overlap = (
+        (F.greatest(s.x1, s.x2) >= x0) & (F.least(s.x1, s.x2) <= x1)
+        & (F.greatest(s.y1, s.y2) >= y0) & (F.least(s.y1, s.y2) <= y1)
+    )
+    dx, dy = s.x2 - s.x1, s.y2 - s.y1
+
+    def cross(cx, cy):
+        return dx * (cy - s.y1) - dy * (cx - s.x1)
+
+    c1, c2 = cross(x0, y0), cross(x0, y1)
+    c3, c4 = cross(x1, y0), cross(x1, y1)
+    same_side = ((c1 > 0) & (c2 > 0) & (c3 > 0) & (c4 > 0)) | (
+        (c1 < 0) & (c2 < 0) & (c3 < 0) & (c4 < 0))
+    return overlap & ~same_side
+
+
+def raster_polygon_join(
+    tiles_df: DataFrame,
+    polygons: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    id_cols=("id", "osm_type"),
+    broadcast_polygons: bool | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Raster-tile <-> vector-polygon join (north rule): one row per
+    (tile, polygon-it-INTERSECTS) pair, where a tile is a row keyed by
+    its int64 ``cell`` id at ``res`` (payload columns — image bytes,
+    per-tile stats — ride along untouched).
+
+    Same scale shape as the PIP join: polygon bbox cover -> cell
+    equi-join prunes candidates, then an EXACT tile-square-vs-polygon
+    test runs entirely in whole-stage codegen over the per-polygon
+    decoded segment arrays. A tile intersects a polygon iff any of:
+
+    * a polygon edge intersects the tile square (per-segment
+      separating-axis test — partial overlap, ring passing through);
+    * the tile's corner lies inside the polygon (even-odd ray cast —
+      tile fully interior; one corner suffices once edge crossings are
+      excluded);
+    * the polygon's bbox lies inside the tile (polygon fully within
+      one tile — no edge crosses, no tile corner inside).
+
+    Boundary-touch counts as intersection (shapely ``intersects``
+    convention, matching the reference's final sjoin semantics,
+    frames.pyx:231-241). ``how="left"`` keeps empty tiles with null
+    polygon columns (tile identity IS the cell id — no extra point-id
+    column needed)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown how {how!r} (inner|left)")
+    keys = [c for c in id_cols if c in polygons.columns]
+    if not keys:
+        raise ValueError(
+            f"id_cols {id_cols} not found in polygons {polygons.columns}")
+    # non-polygon geometries (a closed way typed LineString by the
+    # area=no rule, #144) must not reach the bbox-containment branch
+    # below. Native WKB type-byte check (little-endian writer: byte 2
+    # is the low byte of the geometry code) — filtering on the decoded
+    # segsets instead would re-run the Arrow decode for the filter.
+    gcode = F.conv(F.hex(F.substring("geometry", 2, 1)), 16, 10).cast("int")
+    polygons = polygons.filter(
+        gcode.isin(G.WKB_POLYGON, G.WKB_MULTIPOLYGON))
+    polygons = polygons.withColumn(
+        "_segsets", wkb_segment_sets(F.col("geometry")))
+    cover = polygon_cover(polygons, res)
+    for c in cover.columns:
+        if c not in ("cell", "_segsets") and not c.startswith("poly_"):
+            cover = cover.withColumnRenamed(c, f"poly_{c}")
+    right = F.broadcast(cover) if broadcast_polygons else cover
+    cand = tiles_df.join(right, cell_col, "inner")
+    x0, y0, x1, y1 = tile_rect(cell_col, res)
+    edge_hit = F.exists(
+        F.col("_segsets"),
+        lambda ss: F.exists(ss, lambda s: _seg_rect_predicate(
+            s, x0, y0, x1, y1)),
+    )
+    corner_in = native_pip_predicate(x0, y0)
+    poly_in_tile = (
+        (F.col("poly_bbox.xmin") >= x0) & (F.col("poly_bbox.xmax") <= x1)
+        & (F.col("poly_bbox.ymin") >= y0) & (F.col("poly_bbox.ymax") <= y1)
+    )
+    matched = cand.filter(edge_hit | corner_in | poly_in_tile) \
+                  .drop("_segsets")
+    if how == "inner":
+        return matched
+    unmatched = tiles_df.join(
+        matched.select(cell_col), cell_col, "left_anti")
+    for fld in matched.schema.fields:
+        if fld.name not in unmatched.columns:
+            unmatched = unmatched.withColumn(
+                fld.name, F.lit(None).cast(fld.dataType))
+    return matched.unionByName(unmatched.select(matched.columns))
 
 
 # --------------------------------------------------------------------------

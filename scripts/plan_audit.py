@@ -96,6 +96,19 @@ def main():
     check("pip_exact: hash join for cell equi-join",
           "HashJoin" in p)
 
+    # 5b. raster-tile <-> polygon join: same native-refine discipline
+    # as PIP — the only Arrow node is the once-per-polygon segment
+    # decode; the edge/corner/containment test stays in codegen
+    j = qs["raster_polygon_join"](spark, sf)
+    p = plan_of(j)
+    check("raster_polygon: no per-candidate Python refine",
+          "point_in_wkb_polygon" not in p,
+          f"(arrow nodes total: {p.count('ArrowEvalPython')})")
+    check("raster_polygon: one polygon-side segment decode",
+          p.count("wkb_segment_sets") == 1)
+    check("raster_polygon: hash join for cell equi-join",
+          "HashJoin" in p)
+
     # 6. relation assembly: the member probe broadcasts so the big
     # way/node tables never shuffle for a metadata-sized member list
     from pyrosm_spark.functions.filters import element_filter_column

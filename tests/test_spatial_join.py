@@ -142,6 +142,58 @@ def test_pip_left_join_retains_unmatched_points(spark, images, buildings):
         point_in_polygon_join(images, buildings, how="outer")
 
 
+def test_raster_polygon_join_matches_bruteforce(spark, images, buildings):
+    """Raster-tile <-> polygon join vs brute force: every (tile,
+    polygon) pair tested with the independent numpy kernel
+    geometry_intersects_rect (shapely-intersects semantics). Also
+    pins how='left' (empty tiles retained, nulls)."""
+    from pyrosm_spark.operators.spatial_join import (
+        assign_tiles,
+        raster_polygon_join,
+        tile_rect,
+    )
+
+    res = 12
+    tiles_df = (assign_tiles(images, res)
+                .groupBy("cell").agg(F.count("*").alias("n_images")))
+    j = raster_polygon_join(tiles_df, buildings, res=res)
+    got = {(r["cell"], r["poly_id"], r["poly_osm_type"]) for r in
+           j.select("cell", "poly_id", "poly_osm_type").collect()}
+
+    # brute force over all pairs with the independent kernel
+    n = 1 << res
+    sx, sy = 360.0 / n, 180.0 / n
+    exp = set()
+    tiles_rows = tiles_df.collect()
+    poly_rows = buildings.collect()
+    from pyrosm_spark.functions.tiles import _RES_SHIFT, _X_SHIFT
+
+    for t in tiles_rows:
+        rem = t["cell"] - (res << _RES_SHIFT)
+        tx, ty = rem >> _X_SHIFT, rem & ((1 << _X_SHIFT) - 1)
+        rect = (tx * sx - 180.0, ty * sy - 90.0,
+                tx * sx - 180.0 + sx, ty * sy - 90.0 + sy)
+        for p in poly_rows:
+            gtype, _ = G.parse_wkb(bytes(p["geometry"]))
+            if gtype not in (G.WKB_POLYGON, G.WKB_MULTIPOLYGON):
+                continue
+            if G.geometry_intersects_rect(bytes(p["geometry"]),
+                                          (rect[0], rect[1],
+                                           rect[2], rect[3])):
+                exp.add((t["cell"], p["id"], p["osm_type"]))
+    assert got == exp
+    assert len(exp) > 0
+
+    left = raster_polygon_join(tiles_df, buildings, res=res, how="left")
+    rows = left.select("cell", "poly_id").collect()
+    assert len({r["cell"] for r in rows}) == len(tiles_rows)
+    assert any(r["poly_id"] is None for r in rows)
+    matched_cells = {c for c, _, _ in exp}
+    for r in rows:
+        if r["poly_id"] is None:
+            assert r["cell"] not in matched_cells
+
+
 def test_knn_matches_bruteforce_sample(spark, images, synth_dir):
     nodes_rows = oracle.load_rows(f"{synth_dir}/osm_nodes.parquet")
     pois = [n for n in nodes_rows
