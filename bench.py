@@ -88,6 +88,7 @@ def main():
         assign_tiles,
         knn_join,
         point_in_polygon_join,
+        raster_polygon_join,
     )
     from pyrosm_spark.session import get_spark
 
@@ -172,6 +173,13 @@ def main():
     n_knn = bench("q_knn", lambda: knn_join(
         knn_sample, pois, k=3, res=14, ring=1,
         point_id_col="image_id").count())
+    # raster-tile <-> polygon join (north rule): the headline corpus
+    # aggregated to res-14 tiles, each joined to every intersecting
+    # polygon with the exact codegen square-vs-polygon test
+    raster_tiles = assign_tiles(images_hl, 14).groupBy("cell").agg(
+        F.count("*").alias("n_images"))
+    n_raster = bench("q_raster_polygon", lambda: raster_polygon_join(
+        raster_tiles, polygons, res=14).count())
 
     # engine queries ------------------------------------------------------
     n_edges = bench("q_network_driving", lambda: get_network(
@@ -205,6 +213,7 @@ def main():
         "n_images": n_images,
         "n_polygons": n_polys,
         "rows": {"tiles": n_tiles, "pip": n_pip, "knn": n_knn,
+                 "raster_pairs": n_raster,
                  "edges": n_edges, "lsh_pairs": n_lsh,
                  "phash_pairs": n_ph, "decoded": n_dec},
     }
