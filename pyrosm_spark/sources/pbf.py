@@ -421,7 +421,12 @@ def encode_header_block(bbox=None, history: bool = False) -> bytes:
     for feat in ("OsmSchema-V0.6", "DenseNodes"):
         out += _len_field(4, feat.encode())
     if history:
-        out += _len_field(5, b"HistoricalInformation")
+        # REQUIRED feature (field 4): readers that can't interpret
+        # multiple versions per id must reject the file rather than
+        # treat them as distinct live elements (osmium and the
+        # reference's valid_header_block both read it from
+        # required_features, utils/__init__.py:230-233)
+        out += _len_field(4, b"HistoricalInformation")
     out += _len_field(16, b"pyrosm_spark")
     return out
 
@@ -481,8 +486,10 @@ def _info_from_msg(msg, date_gran: int):
     if msg is None:
         return 0, 0, 0, True
     f = parse_message(msg)
-    ts = int(_first(f, 2, 0)) * date_gran // 1000
-    return (int(_first(f, 1, 0)), ts, int(_first(f, 3, 0)),
+    # timestamp/changeset are plain int64 fields: negatives (pre-1970
+    # timestamps) arrive as two's-complement uint64 varints
+    ts = _sint64(_first(f, 2, 0)) * date_gran // 1000
+    return (int(_first(f, 1, 0)), ts, _sint64(_first(f, 3, 0)),
             bool(int(_first(f, 6, 1))))
 
 
@@ -494,8 +501,11 @@ def decode_primitive_block(payload: bytes) -> dict:
     strings = _decode_string_table(env)
     gran = int(_first(env, 17, GRANULARITY))
     date_gran = int(_first(env, 18, DATE_GRANULARITY))
-    lat_off = int(_first(env, 19, 0))
-    lon_off = int(_first(env, 20, 0))
+    # int64 fields (NOT sint64): negative offsets arrive as
+    # two's-complement uint64 varints — without the wrap a spec-valid
+    # negative offset corrupts every coordinate in the block
+    lat_off = _sint64(_first(env, 19, 0))
+    lon_off = _sint64(_first(env, 20, 0))
     out: dict = {}
 
     def coord(units):
@@ -646,6 +656,27 @@ def read_pbf_union(spark, path: str, partitions: int | None = None):
             raise ValueError(f"no .pbf files in directory {path}")
     else:
         files = [path]
+    _SUPPORTED_FEATURES = {"OsmSchema-V0.6", "DenseNodes",
+                           "HistoricalInformation"}
+    for f in files:
+        # header validation, reference valid_header_block
+        # (utils/__init__.py:230-233): an unknown REQUIRED feature
+        # means the file can't be interpreted correctly — reject
+        # instead of silently misreading (e.g. LocationsOnWays)
+        with open(f, "rb") as fh:
+            head = fh.read(64 * 1024)
+        for t, off, ln in iter_blob_index(f):
+            if t != "OSMHeader":
+                break
+            if off + ln <= len(head):
+                env = parse_message(decompress_blob(head[off:off + ln]))
+                for fld, _wt, v in env:
+                    if fld == 4 and bytes(v).decode(
+                            "utf-8", "replace") not in _SUPPORTED_FEATURES:
+                        raise ValueError(
+                            "Required feature %s not implemented!"
+                            % bytes(v).decode("utf-8", "replace"))
+            break
     index = [
         (f, off, ln)
         for f in files
@@ -724,68 +755,81 @@ def write_pbf(nodes, ways, relations, path: str,
     n}."""
     from pyspark.sql import functions as F
 
-    stats = nodes.agg(
-        F.min("lon"), F.min("lat"), F.max("lon"), F.max("lat"),
-    ).first()
+    # ONE nodes pass computes the header bbox AND the nodes'
+    # any-invisible flag (separate jobs would re-run the whole input
+    # lineage — e.g. a full blob re-decode when the input is itself a
+    # read_pbf frame)
+    n_aggs = [F.min("lon"), F.min("lat"), F.max("lon"), F.max("lat")]
+    if "visible" in nodes.columns:
+        n_aggs.append(F.max(F.when(~F.col("visible"), 1).otherwise(0)))
+    stats = nodes.agg(*n_aggs).first()
     bbox = None
     if stats[0] is not None:
         bbox = (stats[0], stats[1], stats[2], stats[3])
-    history = False
-    for df in (nodes, ways, relations):
+    history = bool(len(stats) > 4 and stats[4])
+    for df in (ways, relations):
+        if history:
+            break
         if "visible" in df.columns and df.filter(
                 ~F.col("visible")).limit(1).count():
             history = True
-            break
 
     def blob_stream(df, cols, encoder):
         d = df
         for c in cols:
             if c not in d.columns:
                 d = d.withColumn(c, F.lit(None))
+        # (id, version) within each id-range partition: history files
+        # carry multiple versions per id and readers expect
+        # version-ascending order within an id
         d = d.select(*cols).repartitionByRange(
             max(1, d.rdd.getNumPartitions()), "id"
-        ).sortWithinPartitions("id")
+        ).sortWithinPartitions("id", "version")
 
         def enc(batches):
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
-            buf = []
+            buf: list = []
+            total = 0
             seq = 0
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 buf.append(pdf)
-                total = sum(len(b) for b in buf)
-                while total >= block_size:
-                    cat = pd.concat(buf, ignore_index=True)
-                    chunk, rest = cat.iloc[:block_size], cat.iloc[
-                        block_size:]
+                total += len(pdf)
+                if total < block_size:
+                    continue
+                # concat once per flush, slice by running offset —
+                # never re-copy the whole shrinking tail per block
+                cat = pd.concat(buf, ignore_index=True)
+                off = 0
+                while len(cat) - off >= block_size:
+                    chunk = cat.iloc[off:off + block_size]
                     yield pd.DataFrame({
                         "pid": [pid], "seq": [seq], "n": [len(chunk)],
                         "blob": [frame_blob("OSMData", encoder(chunk))]})
                     seq += 1
-                    buf = [rest.reset_index(drop=True)]
-                    total = len(rest)
-            cat = (pd.concat(buf, ignore_index=True) if buf
-                   else pd.DataFrame())
-            if len(cat):
+                    off += block_size
+                buf = [cat.iloc[off:].reset_index(drop=True)]
+                total = len(buf[0])
+            if total:
+                cat = pd.concat(buf, ignore_index=True)
                 yield pd.DataFrame({
                     "pid": [pid], "seq": [seq], "n": [len(cat)],
                     "blob": [frame_blob("OSMData", encoder(cat))]})
 
-        return d.mapInPandas(
-            enc, "pid int, seq int, n long, blob binary"
-        ).orderBy("pid", "seq")
+        # NO orderBy: mapInPandas preserves the range partitioning and
+        # toLocalIterator yields partitions in index order, so (pid,
+        # seq) is already the global order — a sort here would run the
+        # range-sampler over the encode plan, doubling the encode work
+        return d.mapInPandas(enc, "pid int, seq int, n long, blob binary")
 
-    node_cols = ["id", "lon", "lat", "tags", "version", "changeset",
-                 "timestamp", "visible"]
-    elem_cols = ["id", "tags", "version", "changeset", "timestamp",
-                 "visible"]
     streams = [
-        ("nodes", blob_stream(nodes, node_cols, encode_dense_nodes_block)),
-        ("ways", blob_stream(ways, elem_cols[:1] + ["refs"]
-                             + elem_cols[1:], encode_ways_block)),
-        ("relations", blob_stream(relations, elem_cols[:1] + ["members"]
-                                  + elem_cols[1:],
+        ("nodes", blob_stream(nodes, _NODE_COLS,
+                              encode_dense_nodes_block)),
+        ("ways", blob_stream(ways, _WAY_COLS, encode_ways_block)),
+        ("relations", blob_stream(relations, _REL_COLS,
                                   encode_relations_block)),
     ]
     counts = {"blobs": 1}
@@ -829,9 +873,19 @@ def write_pbf_sharded(nodes, ways, relations, out_dir: str,
 
     Returns {'nodes': n, 'ways': n, 'relations': n, 'files': n}.
     """
+    import glob as _glob
+
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
+    # clear shards from any PREVIOUS run: a rewrite with fewer
+    # partitions would otherwise leave stale high-numbered shards that
+    # read_pbf_union silently globs back in, duplicating elements
+    for stale in _glob.glob(os.path.join(out_dir, "*.osm.pbf")) + \
+            _glob.glob(os.path.join(out_dir, "*.osm.pbf.inprogress*")):
+        base = os.path.basename(stale)
+        if base.split("-", 1)[0] in ("nodes", "ways", "relations"):
+            os.remove(stale)
 
     def shard(df, cols, encoder, typ):
         d = df
@@ -839,25 +893,34 @@ def write_pbf_sharded(nodes, ways, relations, out_dir: str,
             if c not in d.columns:
                 d = d.withColumn(c, F.lit(None))
         nparts = partitions or max(1, d.rdd.getNumPartitions())
+        # (id, version): history readers expect version-ascending
+        # order within an id
         d = d.select(*cols).repartitionByRange(
-            nparts, "id").sortWithinPartitions("id")
+            nparts, "id").sortWithinPartitions("id", "version")
 
         def enc(batches):
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
+            tc = TaskContext.get()
+            pid = tc.partitionId()
             frames = [pdf for pdf in batches if len(pdf)]
             if not frames:
                 return
             cat = pd.concat(frames, ignore_index=True)
-            history = ("visible" in cat
-                       and bool((~cat["visible"].fillna(True)).any()))
+            # .astype(bool) — object-dtype fillna stops silently
+            # downcasting under pandas 3; ~ on an object column of
+            # Python bools would int-invert instead
+            history = ("visible" in cat and bool(
+                (~cat["visible"].fillna(True).astype(bool)).any()))
             bbox = None
             if typ == "nodes" and len(cat):
                 bbox = (float(cat["lon"].min()), float(cat["lat"].min()),
                         float(cat["lon"].max()), float(cat["lat"].max()))
             path = os.path.join(out_dir, f"{typ}-{pid:05d}.osm.pbf")
-            tmp = path + ".inprogress"
+            # attempt-unique tmp: speculative/retried attempts of the
+            # same partition must never interleave writes into one
+            # file before the atomic publish
+            tmp = f"{path}.inprogress-{tc.taskAttemptId()}"
             nblobs = 1
             with open(tmp, "wb") as f:
                 f.write(frame_blob(

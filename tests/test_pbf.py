@@ -404,7 +404,9 @@ def test_history_roundtrip_osh_semantics(spark, synth_dir, tmp_path):
     assert hdr_t == "OSMHeader"
     env = pbf.parse_message(pbf.decompress_blob(
         data[hdr_off:hdr_off + hdr_len]))
-    feats = [bytes(v).decode() for f_, _w, v in env if f_ == 5]
+    # required_features (field 4): a reader that can't interpret
+    # history must reject the file (reference utils valid_header_block)
+    feats = [bytes(v).decode() for f_, _w, v in env if f_ == 4]
     assert "HistoricalInformation" in feats
 
     n2, _w2, _r2 = pbf.read_pbf(spark, out)
@@ -457,6 +459,67 @@ def test_header_block_roundtrip(tmp_path):
     bb = pbf.parse_message(pbf._first(fields, 1))
     left = int(pbf.zigzag_decode(np.uint64(int(pbf._first(bb, 1)))))
     assert left == 24_000_000_000
+
+
+def test_negative_block_offsets_and_timestamps_decode():
+    """PrimitiveBlock lat/lon offsets (fields 19/20) and Info
+    timestamp/changeset are plain int64 — negatives arrive as
+    two's-complement uint64 varints and must wrap back, not corrupt
+    every coordinate in the block."""
+    # a dense-nodes block encoded with default (0) offsets ...
+    import pandas as pd
+    block = pbf.encode_dense_nodes_block(pd.DataFrame({
+        "id": [1], "lon": [10.0], "lat": [20.0], "tags": [None],
+        "version": [1], "changeset": [5], "timestamp": [-86_400],
+        "visible": [True],
+    }))
+    # ... then reframe it with explicit NEGATIVE block offsets
+    # (-10 nanodegrees = -1e-8 deg shift)
+    block2 = block + pbf._varint_field(19, -10) + pbf._varint_field(20, -10)
+    out = pbf.decode_primitive_block(block2)
+    row = out["nodes"].iloc[0]
+    assert abs(row["lon"] - (10.0 - 1e-8)) < 1e-12
+    assert abs(row["lat"] - (20.0 - 1e-8)) < 1e-12
+    # pre-1970 timestamp survives the int64 roundtrip
+    out0 = pbf.decode_primitive_block(block)
+    assert int(out0["nodes"].iloc[0]["timestamp"]) == -86_400
+
+
+def test_reader_rejects_unknown_required_feature(spark, tmp_path):
+    """An unknown REQUIRED feature (e.g. LocationsOnWays) must reject
+    the file — reference valid_header_block error shape."""
+    hdr = pbf.encode_header_block() + pbf._len_field(
+        4, b"LocationsOnWays")
+    p = str(tmp_path / "lw.osm.pbf")
+    with open(p, "wb") as f:
+        f.write(pbf.frame_blob("OSMHeader", hdr))
+    with pytest.raises(ValueError, match="LocationsOnWays"):
+        pbf.read_pbf_union(spark, p)
+
+
+def test_sharded_rewrite_clears_stale_shards(spark, tmp_path):
+    """Rewriting a shard directory with fewer partitions must not
+    leave stale high-numbered shards for read_pbf to glob back in."""
+    nodes = spark.createDataFrame(
+        [(i, float(i) / 100, float(i) / 200, None, 1, 1, 0, True)
+         for i in range(1, 401)],
+        "id long, lon double, lat double, tags map<string,string>, "
+        "version int, changeset long, timestamp long, visible boolean")
+    empty_w = spark.createDataFrame(
+        [], "id long, refs array<long>, tags map<string,string>, "
+            "version int, changeset long, timestamp long, visible boolean")
+    empty_r = spark.createDataFrame(
+        [], "id long, members array<struct<member_id:long, "
+            "member_type:string, member_role:string>>, "
+            "tags map<string,string>, version int, changeset long, "
+            "timestamp long, visible boolean")
+    out = str(tmp_path / "shards")
+    pbf.write_pbf_sharded(nodes, empty_w, empty_r, out, partitions=8)
+    pbf.write_pbf_sharded(nodes, empty_w, empty_r, out, partitions=2)
+    n2, _, _ = pbf.read_pbf(spark, out)
+    assert n2.count() == 400  # no duplicated elements from stale shards
+    import glob
+    assert len(glob.glob(os.path.join(out, "nodes-*.osm.pbf"))) == 2
 
 
 # -- S11 edit write-back (pbf_edit) -----------------------------------------
