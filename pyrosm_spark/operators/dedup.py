@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyrosm_spark.functions.vectors import dot as _dot
 from pyrosm_spark.operators.text import tokens_col, tokens_sql
 
 # ---- deterministic MinHash parameters (frozen; mirrored in SQL) -----------
@@ -619,11 +620,6 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
 # --------------------------------------------------------------------------
 # Embedding-cosine near-dup (exact baseline + the oracle-checked form)
 # --------------------------------------------------------------------------
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
-
 
 def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
                            id_col: str = "vec_id",

@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
+from pyrosm_spark.functions.vectors import dot as _dot
+
 _HYPERPLANE_SEED = 20260816
 
 # IVF codebook sampling: multiplicative hash over the 32-bit id ring;
@@ -28,11 +30,6 @@ _IVF_SAMPLE_RING = 4294967296  # 2^32
 _IVF_SAMPLE_MULT = 1327217885
 _IVF_SAMPLE_MOD = 16
 N_PLANES = 12  # default bucket bits (4096 buckets) for corpus bucketing
-
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
 
 
 def cosine_topk(
@@ -67,10 +64,30 @@ def cosine_topk(
                     / (F.col("qnorm") * F.col("cnorm")), 6),
         )
     )
+    return _topk_per_query(scored, k)
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Global top-k per query in two stages so no single task ever
+    holds a query's full candidate set: (1) top-k per (query, input
+    partition) — the window key includes spark_partition_id, so its
+    exchange spreads each query over ~shuffle.partitions reducers with
+    bounded per-key groups instead of one hot key; (2) the global
+    window over the surviving <= partitions x k rows per query.
+    Identical result set: stage 1 keeps a superset of every global
+    winner under the SAME (cosine desc, neighbor asc) ordering.
+    Without the pre-reduction, row_number over partitionBy(query)
+    funnels a query's whole scored corpus through one task — the
+    exact OOM shape an exact-scoring baseline hits at scale."""
+    part = scored.withColumn("_p", F.spark_partition_id())
+    wl = W.partitionBy("query_id", "_p").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    local = (part.withColumn("_lr", F.row_number().over(wl))
+             .filter(F.col("_lr") <= k).drop("_lr"))
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                           F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -202,25 +219,35 @@ def train_ivf_centroids(
     (k-means++-lite: first k sample rows after a seeded shuffle), empty
     cells re-seeded from the farthest points, so the codebook is a pure
     function of (corpus sample, n_cells, seed)."""
-    n_train = n_cells * sample_per_cell
+    mat = _hash_prefix_sample(corpus, n_cells * sample_per_cell,
+                              n_cells, corpus_id, vec_col)
+    if len(mat) and mat.shape[1] != dim:
+        raise ValueError(
+            f"embedding dim {mat.shape[1]} != declared dim {dim}")
+    return kmeans_codebook(mat, n_cells, iters)
+
+
+def _hash_prefix_sample(corpus: DataFrame, n_train: int, min_rows: int,
+                        corpus_id: str, vec_col: str) -> np.ndarray:
+    """Deterministic bounded training sample, the SINGLE definition all
+    trainers (IVF, PQ, combined) share with the oracle builders: a
+    multiplicative hash on the id picks ~1/_IVF_SAMPLE_MOD of the
+    corpus BEFORE the ordered limit, so no full-corpus TakeOrdered pass
+    runs just to pick n_train rows. The hash stays in 63-bit range
+    ((2^32-1) * m < 2^63) and is mirrored bit-for-bit by the numpy
+    paths in ``ann_ivf_sql``/``ann_ivfpq_sql``. Falls back to the
+    id-ordered corpus head when the sample is thinner than
+    ``min_rows`` (tiny corpus), mirrored in the oracle."""
     base = corpus.select(F.col(corpus_id).alias("i"),
                          F.col(vec_col).cast("array<double>").alias("v"))
-    # deterministic hash-prefix sample: a multiplicative hash on the id
-    # picks ~1/_IVF_SAMPLE_MOD of the corpus BEFORE the ordered limit,
-    # so no full-corpus TakeOrdered pass runs just to pick n_train
-    # rows. The hash stays in 63-bit range ((2^32-1) * m < 2^63) and is
-    # mirrored bit-for-bit by the numpy path in ``ann_ivf_sql``.
     h = F.pmod(
         F.pmod(F.col("i").cast("long"), F.lit(_IVF_SAMPLE_RING))
         * F.lit(_IVF_SAMPLE_MULT), F.lit(_IVF_SAMPLE_RING))
     rows = (base.filter(F.pmod(h, F.lit(_IVF_SAMPLE_MOD)) == 0)
             .orderBy("i").limit(n_train).collect())
-    if len(rows) < n_cells:
-        # tiny-corpus fallback (sample thinner than the codebook):
-        # id-ordered head of the whole corpus, mirrored in the oracle
+    if len(rows) < min_rows:
         rows = base.orderBy("i").limit(n_train).collect()
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    return kmeans_codebook(mat, n_cells, iters)
+    return np.array([r["v"] for r in rows], dtype=np.float64)
 
 
 def kmeans_codebook(mat: np.ndarray, n_cells: int,
@@ -229,18 +256,29 @@ def kmeans_codebook(mat: np.ndarray, n_cells: int,
     function of (sample matrix, n_cells) with seeded init, shared by
     the engine and the DuckDB oracle (``ann_ivf_sql``) so both sides
     derive the identical codebook."""
+    # a codebook can never have more cells than training rows (the
+    # dead-cell re-seed below would index past the sample otherwise)
+    n_cells = min(n_cells, len(mat))
     rng = np.random.default_rng(_HYPERPLANE_SEED)
     perm = rng.permutation(len(mat))
     cent = mat[perm[:n_cells]].copy()
     for _ in range(iters):
         d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
+        # dead cells re-seed from DISTINCT farthest points: one shared
+        # farthest point would leave duplicate centroids (stable argmin
+        # ties route every member to the lowest-index copy, so the
+        # higher-index cells stay dead forever and nprobe probes them
+        # for nothing)
+        far = np.argsort(d2.min(axis=1), kind="stable")[::-1]
+        next_far = 0
         for c in range(n_cells):
             members = mat[assign == c]
             if len(members):
                 cent[c] = members.mean(axis=0)
-            else:  # re-seed dead cell from the globally farthest point
-                cent[c] = mat[d2.min(axis=1).argmax()]
+            else:
+                cent[c] = mat[far[min(next_far, len(far) - 1)]]
+                next_far += 1
     return cent
 
 
@@ -288,33 +326,33 @@ def ann_topk_ivf(
             corpus, n_cells, dim, corpus_id=corpus_id, vec_col=vec_col)
     assign1 = make_ivf_assign_udf(centroids, nprobe=1)
     assignp = make_ivf_assign_udf(centroids, nprobe=nprobe)
+    # norms ride through the join (computed once per VECTOR row, not
+    # once per candidate pair — same float results, same expression)
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("cell", F.element_at(assign1(F.col("cvec")), 1))
+    ).withColumn("cell", F.element_at(assign1(F.col("cvec")), 1)) \
+     .withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).withColumn("cell", F.explode(assignp(F.col("qvec"))))
+    ).withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec")))) \
+     .withColumn("cell", F.explode(assignp(F.col("qvec"))))
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
-        .withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
         .withColumn(
             "cosine",
             F.round(_dot(F.col("qvec"), F.col("cvec"))
                     / (F.col("qnorm") * F.col("cnorm")), 6),
         )
     )
-    scored = _ann_dedupe(scored)
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                          F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    # no dedupe needed: every corpus vector lands in exactly ONE cell
+    # (assign1) and the nprobe probe cells are distinct, so a
+    # (query, neighbor) pair matches on at most one cell — a
+    # dropDuplicates here would shuffle the full candidate set for
+    # nothing (the multi-table LSH path DOES need it)
+    return _topk_per_query(scored, k)
 
 
 def ann_topk_lsh(
@@ -339,34 +377,28 @@ def ann_topk_lsh(
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).withColumn("bucket", F.explode(bucket(F.col("qvec"))))
+    ).withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec")))) \
+     .withColumn("bucket", F.explode(bucket(F.col("qvec"))))
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("bucket", F.explode(bucket(F.col("cvec"))))
+    ).withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec")))) \
+     .withColumn("bucket", F.explode(bucket(F.col("cvec"))))
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
-        .withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
         .withColumn(
             "cosine",
             F.round(_dot(F.col("qvec"), F.col("cvec"))
                     / (F.col("qnorm") * F.col("cnorm")), 6),
         )
     )
-    scored = _ann_dedupe(scored)
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                          F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    scored = _ann_dedupe(scored)  # multi-table: pairs repeat per table
+    return _topk_per_query(scored, k)
 
 
 def ann_ivf_sql(parquet_path: str, table: str = "embeddings", k: int = 5,
-                n_cells: int = 8, nprobe: int = 4,
+                n_cells: int = 16, nprobe: int = 4,
                 query_filter: str = "vec_id < 20",
                 sample_per_cell: int = 256) -> str:
     """DuckDB mirror of ``ann_topk_ivf``: the codebook is re-derived at
@@ -457,17 +489,8 @@ def train_pq_codebooks(
     DuckDB-oracle builder."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
-    n_train = kc * sample_per_cell
-    base = corpus.select(F.col(corpus_id).alias("i"),
-                         F.col(vec_col).cast("array<double>").alias("v"))
-    h = F.pmod(
-        F.pmod(F.col("i").cast("long"), F.lit(_IVF_SAMPLE_RING))
-        * F.lit(_IVF_SAMPLE_MULT), F.lit(_IVF_SAMPLE_RING))
-    rows = (base.filter(F.pmod(h, F.lit(_IVF_SAMPLE_MOD)) == 0)
-            .orderBy("i").limit(n_train).collect())
-    if len(rows) < kc:
-        rows = base.orderBy("i").limit(n_train).collect()
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat = _hash_prefix_sample(corpus, kc * sample_per_cell, kc,
+                              corpus_id, vec_col)
     return pq_codebooks_from_sample(mat, m, kc)
 
 
@@ -556,31 +579,15 @@ def ann_topk_ivfpq(
     argmin/rank ties), so the DuckDB oracle reproduces the exact
     ranking, not just recall."""
     if centroids is None and codebooks is None:
-        # one collect feeds both trainings: the sample is id-ordered,
-        # so each trainer's head slice matches what its standalone
-        # collect would have returned (and what the oracle re-derives)
+        # the shared sampler (single source of truth with the
+        # standalone trainers AND the oracle builder): the sample is
+        # id-ordered, so each trainer's bounded head is identical to
+        # what its standalone call collects
         spc = 256
-        base = corpus.select(F.col(corpus_id).alias("i"),
-                             F.col(vec_col).cast("array<double>").alias("v"))
-        h = F.pmod(
-            F.pmod(F.col("i").cast("long"), F.lit(_IVF_SAMPLE_RING))
-            * F.lit(_IVF_SAMPLE_MULT), F.lit(_IVF_SAMPLE_RING))
-        n_max = max(n_cells, kc) * spc
-        rows = (base.filter(F.pmod(h, F.lit(_IVF_SAMPLE_MOD)) == 0)
-                .orderBy("i").limit(n_max).collect())
-        mat = np.array([r["v"] for r in rows], dtype=np.float64)
-        # per-trainer tiny-corpus fallbacks stay INDEPENDENT, exactly
-        # as the standalone trainers (and the oracle builder) decide
-        cmat = mat[:n_cells * spc]
-        if len(cmat) < n_cells:
-            cmat = np.array(
-                [r["v"] for r in base.orderBy("i")
-                 .limit(n_cells * spc).collect()], dtype=np.float64)
-        pmat = mat[:kc * spc]
-        if len(pmat) < kc:
-            pmat = np.array(
-                [r["v"] for r in base.orderBy("i")
-                 .limit(kc * spc).collect()], dtype=np.float64)
+        cmat = _hash_prefix_sample(corpus, n_cells * spc, n_cells,
+                                   corpus_id, vec_col)
+        pmat = _hash_prefix_sample(corpus, kc * spc, kc,
+                                   corpus_id, vec_col)
         centroids = kmeans_codebook(cmat, n_cells)
         codebooks = pq_codebooks_from_sample(pmat, m, kc)
     if centroids is None:
@@ -636,18 +643,13 @@ def ann_topk_ivfpq(
             F.round(_adc(F.col("lut"))
                     / (F.col("qnorm") * F.sqrt(_adc(n2_lit))), 6))
     )
-    scored = _ann_dedupe(scored)
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                          F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    # no dedupe: one cell per corpus vector + distinct probe cells
+    # (see ann_topk_ivf) — a dropDuplicates would shuffle for nothing
+    return _topk_per_query(scored, k)
 
 
 def ann_ivfpq_sql(parquet_path: str, table: str = "embeddings",
-                  k: int = 5, n_cells: int = 8, nprobe: int = 4,
+                  k: int = 5, n_cells: int = 16, nprobe: int = 4,
                   m: int = 4, kc: int = 16,
                   query_filter: str = "vec_id < 20",
                   sample_per_cell: int = 256) -> str:
@@ -666,22 +668,19 @@ def ann_ivfpq_sql(parquet_path: str, table: str = "embeddings",
     full = t.to_pandas()
     ids = full["vec_id"].to_numpy().astype(np.int64)
     h = ((ids % _IVF_SAMPLE_RING) * _IVF_SAMPLE_MULT) % _IVF_SAMPLE_RING
-    n_train = max(n_cells, kc) * sample_per_cell
-    df = (full[h % _IVF_SAMPLE_MOD == 0]
-          .sort_values("vec_id").head(n_cells * sample_per_cell))
+    sampled = full[h % _IVF_SAMPLE_MOD == 0].sort_values("vec_id")
+    df = sampled.head(n_cells * sample_per_cell)
     if len(df) < n_cells:
         df = full.sort_values("vec_id").head(n_cells * sample_per_cell)
     mat = np.array([np.asarray(v, dtype=np.float64)
                     for v in df["embedding"]])
     cent = kmeans_codebook(mat, n_cells)
-    dfp = (full[h % _IVF_SAMPLE_MOD == 0]
-           .sort_values("vec_id").head(kc * sample_per_cell))
+    dfp = sampled.head(kc * sample_per_cell)
     if len(dfp) < kc:
         dfp = full.sort_values("vec_id").head(kc * sample_per_cell)
     matp = np.array([np.asarray(v, dtype=np.float64)
                      for v in dfp["embedding"]])
     books = pq_codebooks_from_sample(matp, m, kc)
-    del n_train
     dsub = books.shape[2]
 
     rows = []

@@ -172,6 +172,35 @@ def test_ann_ivf_deterministic_codebook(spark, emb):
     assert c1.shape == (4, 64)
 
 
+def test_kmeans_dead_cells_reseed_distinct():
+    """Dead cells re-seed from DISTINCT farthest points: clustered
+    data with more cells than natural clusters must not leave
+    duplicate centroids (duplicates stay dead forever — stable argmin
+    ties route every member to the lowest-index copy — so nprobe
+    probes them for nothing)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # 3 tight, well-separated clusters; ask for 8 cells
+    centers = np.array([[0.0, 0.0], [100.0, 0.0], [0.0, 100.0]])
+    mat = np.concatenate(
+        [c + 0.01 * rng.standard_normal((40, 2)) for c in centers])
+    cb = S.kmeans_codebook(mat, n_cells=8, iters=8)
+    assert cb.shape == (8, 2)
+    uniq = np.unique(np.round(cb, 9), axis=0)
+    assert len(uniq) == 8, f"only {len(uniq)} distinct centroids"
+
+
+def test_kmeans_tiny_sample_clamps_cells():
+    """A training sample smaller than n_cells must clamp (previously:
+    IndexError in the dead-cell re-seed)."""
+    import numpy as np
+
+    mat = np.arange(10, dtype=np.float64).reshape(5, 2)
+    cb = S.kmeans_codebook(mat, n_cells=8, iters=4)
+    assert cb.shape == (5, 2)
+
+
 def test_simhash_pairs_properties(spark, docs):
     pairs = D.simhash_pairs(docs, max_hamming=16)
     rows = pairs.collect()
