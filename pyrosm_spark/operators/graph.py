@@ -205,6 +205,30 @@ def simplify_directed_chains(
         seg, eps, edge_attr_cols, geometry_col, remove_rings)
 
 
+def _join_endpoint_flags(seg: DataFrame, eps: DataFrame) -> DataFrame:
+    """Attach ``u_ep``/``v_ep`` boolean endpoint flags to a segment
+    frame from an (node, is_endpoint) frame — shared by the directed
+    and undirected simplify paths so the two cannot diverge."""
+    ep_only = eps.filter("is_endpoint").select(
+        F.col("node").alias("_ep"), F.lit(True).alias("_is_ep"))
+    return (seg.join(ep_only.withColumnRenamed("_ep", "su"), "su", "left")
+            .withColumnRenamed("_is_ep", "u_ep")
+            .join(ep_only.withColumnRenamed("_ep", "sv"), "sv", "left")
+            .withColumnRenamed("_is_ep", "v_ep")
+            .fillna(False, subset=["u_ep", "v_ep"]))
+
+
+def _canonical_order(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort a per-chain Arrow batch by segment content so row indices
+    (and therefore every index-based tie-break in the walks) are a
+    function of the DATA, not of shuffle partition order. Without this,
+    a pass-through node with parallel segments (same endpoints) lets
+    pdf row order leak into which copy joins which chain."""
+    return pdf.sort_values(
+        ["su", "sv", "wid", "slen"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def _simplify_from_endpoints(
     seg: DataFrame,
     eps: DataFrame,
@@ -212,20 +236,13 @@ def _simplify_from_endpoints(
     geometry_col: str | None,
     remove_rings: bool,
 ) -> DataFrame:
-    ep_only = eps.filter("is_endpoint").select(
-        F.col("node").alias("_ep"), F.lit(True).alias("_is_ep"))
-
-    seg = (seg.join(ep_only.withColumnRenamed("_ep", "su"), "su", "left")
-           .withColumnRenamed("_is_ep", "u_ep")
-           .join(ep_only.withColumnRenamed("_ep", "sv"), "sv", "left")
-           .withColumnRenamed("_is_ep", "v_ep")
-           .fillna(False, subset=["u_ep", "v_ep"]))
-
+    seg = _join_endpoint_flags(seg, eps)
     seg = label_chains(seg)
 
     with_geom = geometry_col is not None
 
     def per_component(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _canonical_order(pdf)
         endpoints = set(pdf.loc[pdf["u_ep"], "su"]) | set(
             pdf.loc[pdf["v_ep"], "sv"])
         out_adj: dict = {}
@@ -291,8 +308,13 @@ def _simplify_from_endpoints(
         # walk starts at the MINIMUM node over all remaining unused
         # segments (deterministic regardless of partition row order;
         # the per-first-unused-row start of round 1 leaked pdf order
-        # into the emitted u/v labels)
-        while not remove_rings and not used.all():
+        # into the emitted u/v labels). ``remove_rings`` drops only
+        # walks that CLOSE back on their start (true isolated rings,
+        # the OSMnx rule) — leftovers that break early are ordinary
+        # segments the endpoint walks could not reach (e.g. the second
+        # copy of a parallel pair through a pass-through node) and are
+        # always emitted.
+        while not used.all():
             rem = np.nonzero(~used)[0]
             rem_nodes = sorted(
                 {pdf["su"].iloc[int(j)] for j in rem}
@@ -320,7 +342,8 @@ def _simplify_from_endpoints(
                 used[k] = True
                 order.append(k)
                 prev, cur = cur, y
-            emit(start, cur, np.array(order))
+            if not (remove_rings and cur == start):
+                emit(start, cur, np.array(order))
         cols = ["u", "v", "length", "n_segments", "way_ids"]
         cols += [f"{c}_values" for c in edge_attr_cols]
         if with_geom:
@@ -450,7 +473,8 @@ def connected_components(edges: DataFrame, u_col: str = "u",
         .filter(F.col("ca") != F.col("cb"))
         .select("ca", "cb").distinct().localCheckpoint()
     )
-    if _depth < 4 and sup.count() > max_driver_edges:
+    n_sup = sup.count()
+    if _depth < 4 and n_sup > max_driver_edges:
         # still too big for the driver: recurse on the super-graph
         # (labels are nodes), then broadcast the label -> root map back
         sub = connected_components(
@@ -462,9 +486,15 @@ def connected_components(edges: DataFrame, u_col: str = "u",
             labels.join(mapping, "comp", "left")
             .select("node", F.coalesce("root", F.col("comp")).alias("comp"))
         )
-    # finish exactly on the (bounded) driver
-    super_edges = sup.collect()
+    # finish exactly on the driver. If recursion depth is exhausted and
+    # the super-graph still exceeds the cap (adversarial diameters),
+    # STREAM the edges through the union-find instead of collect()ing —
+    # driver memory is then bounded by the label->parent map (the
+    # irreducible output size), never the edge list.
+    super_edges = (sup.toLocalIterator() if n_sup > max_driver_edges
+                   else sup.collect())
     parent: dict = {}
+    seen: set = set()
 
     def find(x):
         root = x
@@ -475,14 +505,14 @@ def connected_components(edges: DataFrame, u_col: str = "u",
         return root
 
     for r in super_edges:
-        ra, rb = find(r["ca"]), find(r["cb"])
+        ca, cb = r["ca"], r["cb"]
+        seen.add(ca)
+        seen.add(cb)
+        ra, rb = find(ca), find(cb)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     # map every label to its root, preferring the minimum id
-    roots = {}
-    for r in super_edges:
-        for c in (r["ca"], r["cb"]):
-            roots[c] = find(c)
+    roots = {c: find(c) for c in seen}
     if not roots:
         return labels
     spark = edges.sparkSession
@@ -496,11 +526,17 @@ def connected_components(edges: DataFrame, u_col: str = "u",
 
 def largest_component_edges(edges: DataFrame, u_col: str = "u",
                             v_col: str = "v",
-                            strongly: bool = False) -> DataFrame:
+                            strongly: bool = False,
+                            max_outer: int = 50,
+                            max_prop_rounds: int = 512) -> DataFrame:
     """X3/J11 — keep only edges inside the largest (weakly or strongly)
-    connected component (graph_connectivity.py:76-84)."""
+    connected component (graph_connectivity.py:76-84). ``max_outer`` /
+    ``max_prop_rounds`` forward to the distributed SCC path when the
+    auto-dispatch takes it (round counts are O(diameter))."""
     comps = (
-        scc_components(edges, u_col, v_col)
+        scc_components(edges, u_col, v_col,
+                       max_outer=max_outer,
+                       max_prop_rounds=max_prop_rounds)
         if strongly else connected_components(edges, u_col, v_col)
     )
     biggest = (
@@ -517,7 +553,9 @@ def largest_component_edges(edges: DataFrame, u_col: str = "u",
 
 def scc_components(edges: DataFrame, u_col: str = "u",
                    v_col: str = "v",
-                   max_task_edges: int = 2_000_000) -> DataFrame:
+                   max_task_edges: int = 2_000_000,
+                   max_outer: int = 50,
+                   max_prop_rounds: int = 512) -> DataFrame:
     """Strongly-connected components, auto-dispatching hybrid: weak-CC
     split first (no SCC crosses a weak component), then exact iterative
     Tarjan per weak component in applyInPandas — fastest when every
@@ -526,7 +564,9 @@ def scc_components(edges: DataFrame, u_col: str = "u",
     weak component), the function dispatches to
     ``scc_components_distributed`` instead, which has no single-task
     limit; the two are differential-tested label-identical, so the
-    dispatch is invisible to callers."""
+    dispatch is invisible to callers. ``max_outer``/``max_prop_rounds``
+    forward to the distributed path (its round counts are O(diameter),
+    so deep one-way rings need them raisable from every caller)."""
     weak = connected_components(edges, u_col, v_col)
     e = (
         edges.select(F.col(u_col).alias("eu"), F.col(v_col).alias("ev"))
@@ -536,7 +576,9 @@ def scc_components(edges: DataFrame, u_col: str = "u",
     biggest = (e.groupBy("wcomp").count()
                .agg(F.max("count").alias("mx")).first()["mx"])
     if biggest is not None and biggest > max_task_edges:
-        return scc_components_distributed(edges, u_col, v_col)
+        return scc_components_distributed(
+            edges, u_col, v_col,
+            max_outer=max_outer, max_prop_rounds=max_prop_rounds)
 
     def per_component(pdf: pd.DataFrame) -> pd.DataFrame:
         # iterative Tarjan (the reference's nonrecursive formulation,
@@ -640,17 +682,13 @@ def simplify_chains(edges: DataFrame, u_col: str = "u", v_col: str = "v",
         .select("node", ((F.col("dn") != 2) | (F.col("has_loop") == 1))
                 .alias("is_endpoint"))
     )
-    ep_only = ep.filter("is_endpoint").select(
-        F.col("node").alias("_ep"), F.lit(True).alias("_is_ep"))
-    seg = (seg.join(ep_only.withColumnRenamed("_ep", "su"), "su", "left")
-           .withColumnRenamed("_is_ep", "u_ep")
-           .join(ep_only.withColumnRenamed("_ep", "sv"), "sv", "left")
-           .withColumnRenamed("_is_ep", "v_ep")
-           .fillna(False, subset=["u_ep", "v_ep"]))
+    seg = _join_endpoint_flags(seg, ep)
     seg = label_chains(seg)
 
     def per_component(pdf: pd.DataFrame) -> pd.DataFrame:
-        # undirected adjacency with segment payloads
+        pdf = _canonical_order(pdf)
+        # undirected adjacency with segment payloads; canonical row
+        # order makes every index-based pick below data-deterministic
         adj: dict = {}
         for i, (a, b) in enumerate(zip(pdf["su"], pdf["sv"])):
             adj.setdefault(a, []).append((b, i))
@@ -724,8 +762,8 @@ def scc_components_distributed(
     edges: DataFrame,
     u_col: str = "u",
     v_col: str = "v",
-    max_outer: int = 30,
-    max_prop_rounds: int = 64,
+    max_outer: int = 50,
+    max_prop_rounds: int = 512,
 ) -> DataFrame:
     """Strongly-connected components with NO single-task component
     limit — the scale path promised by SURVEY §7.3 hard-part 4 (the

@@ -769,3 +769,96 @@ def test_igraph_pandana_constructor_smoke_with_fake_modules(
     assert sorted(pa["node_x"].tolist()) == [0.0, 1.0, 1.0]
     assert list(pa["edge_weights"].columns) == ["length"]
     assert len(pa["edge_from"]) == 3
+
+
+# --------------------------------------------------------------------------
+# Round-3 review fixes: remove_rings leftover semantics, parallel-segment
+# determinism, SCC bound forwarding, streamed union-find finish
+# --------------------------------------------------------------------------
+
+def test_remove_rings_keeps_non_ring_leftovers(spark):
+    """remove_rings must drop ONLY walks that close back on their start
+    (true isolated rings). Leftover segments the endpoint walks could
+    not reach — e.g. parallel copies through a pass-through node — are
+    ordinary street segments and must survive."""
+    from pyrosm_spark.operators.graph import simplify_directed_chains
+
+    # 7->8, 8->7 (x2, parallel), 8->9: node 8 is a pass-through
+    # (2 distinct nbrs, in+out=4); the walk 7->8->9 strands both 8->7
+    # copies, which are NOT rings.
+    rows = [(1, 7, 8, 1.0), (2, 8, 7, 1.0), (3, 8, 7, 1.0),
+            (4, 8, 9, 1.0)]
+    df = spark.createDataFrame(rows, "id long, u long, v long, "
+                                     "length double")
+    out = sorted((r["u"], r["v"], tuple(sorted(r["way_ids"])))
+                 for r in simplify_directed_chains(
+                     df, remove_rings=True).collect())
+    assert (7, 9, (1, 4)) in out
+    assert (8, 7, (2,)) in out and (8, 7, (3,)) in out
+    assert len(out) == 3
+
+
+def test_parallel_segments_directed_walk_order_invariant(spark):
+    """Parallel directed segments through a pass-through node: the
+    segment-to-chain pairing must be a function of the DATA (canonical
+    per-chain ordering), not of shuffle row order."""
+    from pyrosm_spark.operators.graph import simplify_directed_chains
+
+    rows = [(10, 5, 1, 1.0), (11, 5, 1, 5.0),
+            (12, 1, 9, 2.0), (13, 1, 5, 3.0)]
+    results = []
+    for perm in ([0, 1, 2, 3], [3, 2, 1, 0], [1, 3, 0, 2]):
+        df = spark.createDataFrame(
+            [rows[i] for i in perm],
+            "id long, u long, v long, length double"
+        ).repartition(len(perm))
+        got = sorted((r["u"], r["v"], r["length"],
+                      tuple(sorted(r["way_ids"])))
+                     for r in simplify_directed_chains(df).collect())
+        results.append(got)
+    assert results[0] == results[1] == results[2]
+
+
+def test_parallel_segments_undirected_walk_order_invariant(spark):
+    """Same order-invariance contract for the undirected walk (it had
+    no adjacency sorting at all before round 3's canonical order)."""
+    rows = [(20, 1, 2, 1.0), (21, 1, 2, 4.0), (22, 2, 3, 2.0)]
+    results = []
+    for perm in ([0, 1, 2], [2, 1, 0], [1, 2, 0]):
+        df = spark.createDataFrame(
+            [rows[i] for i in perm],
+            "id long, u long, v long, length double"
+        ).repartition(3)
+        got = sorted((r["u"], r["v"], r["length"],
+                      tuple(sorted(r["way_ids"])))
+                     for r in simplify_chains(df).collect())
+        results.append(got)
+    assert results[0] == results[1] == results[2]
+
+
+def test_scc_prop_round_bounds_forwarded(spark):
+    """scc_components must forward max_prop_rounds to the distributed
+    path when auto-dispatch takes it: a directed ring's coloring needs
+    O(diameter) rounds, so a too-small bound raises (never mislabels),
+    and the default succeeds on the same input."""
+    n = 12
+    rows = [(i, i, (i + 1) % n, 1.0) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, u long, v long, "
+                                     "length double")
+    with pytest.raises(RuntimeError, match="max_prop_rounds"):
+        scc_components(df, max_task_edges=1, max_prop_rounds=3).collect()
+    got = scc_components(df, max_task_edges=1).collect()
+    assert {r["comp"] for r in got} == {0}
+    assert len(got) == n
+
+
+def test_connected_components_streamed_finish(spark, toy_edges):
+    """With max_driver_edges=0 every level over-caps, recursion bottoms
+    out, and the finish streams via toLocalIterator — labels must match
+    the default collect() path exactly."""
+    want = sorted((r["node"], r["comp"]) for r in
+                  connected_components(toy_edges).collect())
+    got = sorted((r["node"], r["comp"]) for r in
+                 connected_components(
+                     toy_edges, max_driver_edges=0).collect())
+    assert got == want
