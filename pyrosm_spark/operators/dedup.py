@@ -81,23 +81,6 @@ def exact_dedup_sql(table: str = "documents") -> str:
 # Shingles (shared by jaccard + minhash)
 # --------------------------------------------------------------------------
 
-def shingles_from_tokens(toks, n: int = SHINGLE_N):
-    """Distinct word n-grams from a token-array COLUMN; docs with < n
-    tokens contribute their full token join as the single shingle."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    whole = F.array(F.array_join(toks, " "))
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(whole)
-    )
-
-
-def shingles_col(text, n: int = SHINGLE_N):
-    return shingles_from_tokens(tokens_col(text), n)
-
-
 def _shingle_rows(docs: DataFrame, text_col: str, id_col: str,
                   n: int = SHINGLE_N, distinct: bool = True) -> DataFrame:
     """(doc, shingle) exploded rows, performance-shaped:
@@ -135,6 +118,10 @@ def _shingle_rows(docs: DataFrame, text_col: str, id_col: str,
 
 
 def shingles_sql(text: str, n: int = SHINGLE_N) -> str:
+    """DuckDB mirror of ``_shingle_rows``'s per-doc shingle set. The
+    token-less branch yields an EMPTY list (unnest emits no rows), not
+    a '' shingle — ``_shingle_rows`` filters size==0 docs out, and a ''
+    shingle would spuriously pair every empty doc at jaccard 1.0."""
     toks = tokens_sql(text)
     grams = (
         f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
@@ -143,7 +130,8 @@ def shingles_sql(text: str, n: int = SHINGLE_N) -> str:
     whole = f"[array_to_string({toks}, ' ')]"
     return (
         f"list_distinct(CASE WHEN len({toks}) >= {n} THEN {grams} "
-        f"ELSE {whole} END)"
+        f"WHEN len({toks}) > 0 THEN {whole} "
+        f"ELSE [] END)"
     )
 
 
@@ -244,7 +232,8 @@ def ngram_jaccard_sql(table: str = "documents", threshold: float = 0.5,
         FROM common
         JOIN sizes sa ON sa.doc = doc_a
         JOIN sizes sb ON sb.doc = doc_b
-        WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= {threshold}
+        WHERE round(CAST(common AS DOUBLE)
+                    / (sa.sz + sb.sz - common), 6) >= {threshold}
     """
 
 
@@ -285,6 +274,9 @@ def banded_self_pairs(
     only pays for itself on the few dense buckets — the hot set is
     found with one bounded aggregation (<= total_rows / threshold
     buckets) and broadcast. None = block every bucket (legacy dial).
+    Setting ``hot_threshold`` engages hot-bucket chunking even when
+    ``n_blocks`` is 1 (hot buckets then use 8 chunks) — previously the
+    dial was silently ignored without an explicit n_blocks.
 
     Both sides carry SHUFFLE_HASH hints: this is a self-join of
     equal-size tables, so a broadcast build (which Spark picks when
@@ -306,7 +298,7 @@ def banded_self_pairs(
     shuffle_n = int(banded.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
     banded = banded.repartition(shuffle_n).localCheckpoint()
-    if n_blocks <= 1:
+    if n_blocks <= 1 and hot_threshold is None:
         a = banded.hint("shuffle_hash").alias("a")
         b = banded.hint("shuffle_hash").alias("b")
         cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -317,10 +309,14 @@ def banded_self_pairs(
             return a.join(b, cond).select(*sel_a, *sel_b)
         return a.join(b, cond).select(*sel_a, *sel_b).distinct()
 
+    # with n_blocks <= 1 but a hot_threshold set, hot buckets still
+    # need a real block count for the chunking to do anything — use 8
+    # (the grouped path's default); cold buckets stay unreplicated
+    eff_blocks = n_blocks if n_blocks > 1 else 8
     if hot_threshold is not None:
         hot = (banded.groupBy(*band_cols).count()
                .filter(F.col("count") > hot_threshold)
-               .select(*band_cols, F.lit(n_blocks).alias("_nb")))
+               .select(*band_cols, F.lit(eff_blocks).alias("_nb")))
         banded = banded.join(F.broadcast(hot), band_cols, "left").withColumn(
             "_nb", F.coalesce(F.col("_nb"), F.lit(1)))
     else:
@@ -495,12 +491,18 @@ def simhash64(text: pd.Series) -> pd.Series:
     token-bound Python inner loop of round 1 replaced by two numpy
     passes (identical output values)."""
     import hashlib
+    import re
 
+    # the shared tokenizer contract is split-on-ASCII-\s+ (Spark's Java
+    # regex \s and DuckDB/RE2's \s are both ASCII-only); Python's bare
+    # str.split() splits on UNICODE whitespace (e.g. U+00A0) and would
+    # diverge from tokens_col/tokens_sql on scraped web text
+    ws = re.compile(r"\s+", re.ASCII)
     out = np.full(len(text), None, dtype=object)
     tok_lists = []
     vocab: dict = {}
     for t in text:
-        toks = [w for w in (t or "").lower().strip().split() if w]
+        toks = [w for w in ws.split((t or "").lower()) if w]
         tok_lists.append(toks)
         for w in toks:
             if w not in vocab:
@@ -648,6 +650,11 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+    # zero-norm guard: cosine would be 0/0 = NaN, and Spark's ordering
+    # semantics treat NaN as GREATER than any double — one all-zero
+    # embedding (a failed embed call) would otherwise pair with every
+    # row and collapse the corpus into one near-dup cluster
+    v = v.filter(F.col("norm") > 0)
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col("a.vid") < F.col("b.vid"))
@@ -664,15 +671,22 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
 
 def embedding_cosine_sql(table: str = "embeddings",
                          threshold: float = 0.95) -> str:
+    """Mirror of ``embedding_cosine_pairs``: same zero-norm exclusion,
+    and the threshold tests the ROUNDED cosine exactly as the engine
+    filters its round(..., 6) column."""
     cos = (
         "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[]))"
     )
+    def norm2(side: str) -> str:
+        return (f"list_dot_product(CAST({side}.embedding AS DOUBLE[]), "
+                f"CAST({side}.embedding AS DOUBLE[]))")
     return f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round({cos}, 6) AS cosine
         FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
-        WHERE {cos} >= {threshold}
+        WHERE {norm2('a')} > 0 AND {norm2('b')} > 0
+          AND round({cos}, 6) >= {threshold}
     """
 
 
@@ -703,14 +717,18 @@ def phash_pairs(images: DataFrame, max_hamming: int = 6,
       the SQL oracle's formulation.
     """
     if strategy == "grouped":
+        # hot_threshold=None means "block every bucket" in the join
+        # path; the grouped analogue is threshold 0 (every non-empty
+        # bucket is hot). 0 itself must NOT coerce to the default.
         return phash_pairs_grouped(
             images, max_hamming, id_col, phash_col,
             n_blocks=max(n_blocks, 2),
-            hot_threshold=hot_threshold or 4096)
+            hot_threshold=0 if hot_threshold is None else hot_threshold)
     if strategy != "join":
         raise ValueError(f"unknown phash_pairs strategy {strategy!r}")
     base = images.select(F.col(id_col).alias("img"),
                          F.col(phash_col).alias("ph"))
+    base = base.filter(F.col("ph").isNotNull())
     bands = F.array(*[
         F.struct(F.lit(i).alias("band"),
                  F.shiftrightunsigned(F.col("ph"), 16 * i)
@@ -765,7 +783,11 @@ def _emit_pairs(ids_l, ids_r, ph_l, ph_r, band, max_hamming):
     DataFrame."""
     x = np.bitwise_xor(ph_l, ph_r)
     ham = _hamming64(x)
-    keep = (ham <= max_hamming) & (_first_zero_chunk(x) == band)
+    # ids_l != ids_r keeps the contract identical to the join strategy
+    # and the SQL oracle (strict a.id < b.id: duplicate-id rows never
+    # self-pair)
+    keep = ((ham <= max_hamming) & (_first_zero_chunk(x) == band)
+            & (ids_l != ids_r))
     if not keep.any():
         return None
     il, ir = ids_l[keep], ids_r[keep]
@@ -824,6 +846,10 @@ def phash_pairs_grouped(images: DataFrame, max_hamming: int = 6,
 
     base = images.select(F.col(id_col).alias("img"),
                          F.col(phash_col).alias("ph"))
+    # NULL phashes can never pair (the join strategy's NULL band keys
+    # never equi-match) — and to_numpy(dtype=int64) on a None would
+    # crash the Arrow groups, so drop them up front
+    base = base.filter(F.col("ph").isNotNull())
     bands = F.array(*[
         F.struct(F.lit(i).alias("band"),
                  F.shiftrightunsigned(F.col("ph"), 16 * i)

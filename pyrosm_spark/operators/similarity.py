@@ -780,7 +780,13 @@ def lsh_cosine_pairs(
     b = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("bucket", F.explode(bucket(F.col("vec"))))
+    )
+    # zero-norm guard (mirrors dedup.embedding_cosine_pairs): a zero
+    # vector's cosine is 0/0 = NaN, which Spark orders ABOVE every
+    # double, so it would pass any >= threshold filter and pair with
+    # its whole bucket
+    b = b.filter(_dot(F.col("vec"), F.col("vec")) > 0)
+    b = b.withColumn("bucket", F.explode(bucket(F.col("vec"))))
     a, c = b.alias("a"), b.alias("b")
     cand = (
         a.join(c, (F.col("a.bucket") == F.col("b.bucket"))
@@ -841,5 +847,9 @@ def lsh_cosine_pairs_sql(table: str = "embeddings",
         FROM cand c
         JOIN {table} x ON x.vec_id = c.vec_a
         JOIN {table} y ON y.vec_id = c.vec_b
-        WHERE round({cos}, 6) >= {threshold}
+        WHERE list_dot_product(CAST(x.embedding AS DOUBLE[]),
+                               CAST(x.embedding AS DOUBLE[])) > 0
+          AND list_dot_product(CAST(y.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) > 0
+          AND round({cos}, 6) >= {threshold}
     """

@@ -546,3 +546,126 @@ def test_ann_ivfpq_deterministic_and_bounded(spark, emb):
     assert len(got) > 0
     for r in got:
         assert -1.5 <= r["cosine"] <= 1.5
+
+
+# --------------------------------------------------------------------------
+# Round-3 dedup review fixes
+# --------------------------------------------------------------------------
+
+def test_empty_doc_shingle_oracle_parity(spark):
+    """Token-less docs must produce NO shingles on BOTH engines: the
+    SQL mirror previously gave them a '' shingle, pairing every empty
+    doc at jaccard 1.0 while the Spark path emitted nothing."""
+    import pandas as pd
+
+    rows = [("a", ""), ("b", "   "), ("c", "shared body of text here"),
+            ("d", "shared body of text here")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("docs_t", pdf)
+    con.execute("CREATE VIEW edocs AS SELECT * FROM docs_t")
+    exp = {(r[0], r[1]): r[2] for r in con.execute(
+        D.ngram_jaccard_sql("edocs", threshold=0.2)).fetchall()}
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           D.ngram_jaccard_pairs(df, threshold=0.2).collect()}
+    assert got == exp
+    assert ("a", "b") not in got and ("c", "d") in got
+    # minhash signatures: empty docs absent from both sides
+    sig_rows = D.minhash_signatures(df).select("doc").collect()
+    exp_sig = con.execute(D.minhash_signature_sql("edocs")).fetchall()
+    assert {r["doc"] for r in sig_rows} == {r[0] for r in exp_sig} == \
+        {"c", "d"}
+
+
+def test_zero_norm_embedding_never_pairs(spark):
+    """A zero vector's cosine is 0/0 = NaN, and Spark orders NaN above
+    every double — without the norm guard it pairs with everything."""
+    import pandas as pd
+
+    rows = [(1, [0.0] * 4), (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [1.0, 0.001, 0.0, 0.0]), (4, [0.0] * 4)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>")
+    exact = D.embedding_cosine_pairs(df, threshold=0.9).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in exact}
+    assert ids == {(2, 3)}
+    lsh = S.lsh_cosine_pairs(df, threshold=0.9, dim=4).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in lsh} <= {(2, 3)}
+    # oracle parity on the same frame
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                        "embedding": [r[1] for r in rows]})
+    con = duckdb.connect()
+    con.register("emb_t", pdf)
+    con.execute("CREATE VIEW zemb AS SELECT * FROM emb_t")
+    exp = {(r[0], r[1]) for r in con.execute(
+        D.embedding_cosine_sql("zemb", 0.9)).fetchall()}
+    assert exp == ids
+
+
+def test_simhash_tokenizer_ascii_whitespace_parity(spark):
+    """simhash64 must tokenize with ASCII-\\s+ exactly like
+    tokens_col/tokens_sql — Python's bare str.split() also splits on
+    Unicode whitespace (U+00A0 etc) and diverges on scraped web text."""
+    import pandas as pd
+
+    nbsp = "alpha\u00a0beta gamma delta"
+    rows = [("a", nbsp), ("b", nbsp),
+            ("c", "alpha beta gamma delta"), ("d", "alpha beta gamma delta")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("docs_t", pdf)
+    con.execute("CREATE VIEW wdocs AS SELECT * FROM docs_t")
+    exp = {(r[0], r[1], r[2]) for r in con.execute(
+        D.simhash_pairs_sql("wdocs", max_hamming=8)).fetchall()}
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+           D.simhash_pairs(df, max_hamming=8).collect()}
+    assert got == exp
+    assert ("a", "b", 0) in got and ("c", "d", 0) in got
+
+
+def test_phash_grouped_duplicate_ids_match_join(spark):
+    """Duplicate image_id rows must never self-pair: the grouped
+    strategy previously emitted (X, X) rows the join strategy and the
+    SQL oracle exclude via strict a.id < b.id."""
+    rows = [("x", 0b1010), ("x", 0b1010), ("y", 0b1011), ("z", 1 << 40)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    grouped = {(r["img_a"], r["img_b"], r["hamming"]) for r in
+               D.phash_pairs(df, max_hamming=2,
+                             strategy="grouped").collect()}
+    joined = {(r["img_a"], r["img_b"], r["hamming"]) for r in
+              D.phash_pairs(df, max_hamming=2, strategy="join").collect()}
+    assert grouped == joined
+    assert all(a != b for a, b, _ in grouped)
+    # duplicate ids still pair with OTHER images (both copies collapse
+    # onto the same ordered pair)
+    assert ("x", "y", 1) in grouped
+
+
+def test_phash_null_phash_tolerated(spark):
+    """NULL phash rows (public API accepts arbitrary frames) must not
+    crash the grouped Arrow kernels — both strategies drop them."""
+    rows = [("a", 7), ("b", 7), ("c", None)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    for strategy in ("grouped", "join"):
+        got = {(r["img_a"], r["img_b"]) for r in
+               D.phash_pairs(df, max_hamming=1, strategy=strategy).collect()}
+        assert got == {("a", "b")}, strategy
+
+
+def test_join_hot_threshold_engages_without_n_blocks(spark, synth_dir):
+    """phash_pairs(strategy='join') with default n_blocks=1 must still
+    apply hot-bucket chunk blocking — and the blocked pair set is
+    identical to the unblocked one."""
+    path = os.path.join(synth_dir, "images.parquet")
+    imgs = spark.read.parquet(path).limit(120)
+    blocked = D.phash_pairs(imgs, max_hamming=4, strategy="join",
+                            n_blocks=1, hot_threshold=10)
+    plain = D.phash_pairs(imgs, max_hamming=4, strategy="join",
+                          n_blocks=1, hot_threshold=None)
+    got_b = {(r["img_a"], r["img_b"], r["hamming"])
+             for r in blocked.collect()}
+    got_p = {(r["img_a"], r["img_b"], r["hamming"])
+             for r in plain.collect()}
+    assert got_b == got_p and got_b
