@@ -63,30 +63,59 @@ def release_pinned_caches() -> None:
         _release_pins(tag)
 
 
-def _left_extend_points(points: DataFrame, matched: DataFrame,
-                        point_id_col: str | None, res: int,
-                        lon_col: str, lat_col: str) -> DataFrame:
-    """``how="left"`` completion for the PIP joins: matched rows
-    (the inner-join result) unioned with every point that matched NO
-    polygon, polygon-side columns null. Unmatched detection is a
-    LEFT-ANTI SEMI-JOIN on a caller-named unique point id — never a
-    per-point aggregation over the candidate set — so the extra cost
-    at scale is one hash semi-join on the id, not a second refine."""
-    if point_id_col is None or point_id_col not in points.columns:
-        raise ValueError(
-            "how='left' needs point_id_col naming a unique point id "
-            f"column present in points (got {point_id_col!r})")
-    unmatched = points.join(
-        matched.select(point_id_col), point_id_col, "left_anti")
-    if "cell" in matched.columns and "cell" not in unmatched.columns:
-        # unmatched rows still carry their own res-level cell (the
-        # tile-assignment contract: EVERY row gets a tile)
-        unmatched = assign_tiles(unmatched, res, lon_col, lat_col)
+def _left_union(matched: DataFrame, rows: DataFrame, key_col: str,
+                extend=None) -> DataFrame:
+    """``how="left"`` completion core shared by the PIP and raster
+    joins: matched rows unioned with every input row that matched
+    NOTHING (match-side columns null). Unmatched detection is a
+    LEFT-ANTI SEMI-JOIN on ``key_col`` — never a per-row aggregation
+    over the candidate set — so the extra cost at scale is one hash
+    semi-join on the key, not a second refine. ``matched`` is PINNED
+    (per-call lifecycle) because the plan reads it twice (the union arm
+    and the anti-join build side); without the pin the candidate join +
+    exact refine — the dominant cost — would execute twice per action."""
+    _release_pins("left_union")
+    matched = _pin("left_union", matched)
+    unmatched = rows.join(matched.select(key_col), key_col, "left_anti")
+    if extend is not None:
+        unmatched = extend(unmatched)
     for fld in matched.schema.fields:
         if fld.name not in unmatched.columns:
             unmatched = unmatched.withColumn(
                 fld.name, F.lit(None).cast(fld.dataType))
     return matched.unionByName(unmatched.select(matched.columns))
+
+
+def _left_extend_points(points: DataFrame, matched: DataFrame,
+                        point_id_col: str | None, res: int,
+                        lon_col: str, lat_col: str) -> DataFrame:
+    """``how="left"`` completion for the PIP joins (see
+    :func:`_left_union`); requires a caller-named unique point id."""
+    if point_id_col is None or point_id_col not in points.columns:
+        raise ValueError(
+            "how='left' needs point_id_col naming a unique point id "
+            f"column present in points (got {point_id_col!r})")
+
+    def extend(unmatched: DataFrame) -> DataFrame:
+        if "cell" in matched.columns and "cell" not in unmatched.columns:
+            # unmatched rows still carry their own res-level cell (the
+            # tile-assignment contract: EVERY row gets a tile)
+            return assign_tiles(unmatched, res, lon_col, lat_col)
+        return unmatched
+
+    return _left_union(matched, points, point_id_col, extend)
+
+
+def _apply_broadcast_dial(side: DataFrame, broadcast_polygons: bool | None):
+    """The tri-state broadcast dial shared by every join here: True
+    forces a broadcast hint, False FORBIDS one (shuffle_hash hint — a
+    bare non-hint would still let AQE broadcast a deceptively-small
+    cover and blow driver memory), None lets Catalyst/AQE decide."""
+    if broadcast_polygons is True:
+        return F.broadcast(side)
+    if broadcast_polygons is False:
+        return side.hint("shuffle_hash")
+    return side
 
 
 def assign_tiles(points: DataFrame, res: int, lon_col: str = "lon",
@@ -128,6 +157,13 @@ def wkb_bbox(geometry: pd.Series) -> pd.DataFrame:
             coords = payload
         else:  # multipolygon: list of ring-lists
             coords = [r for rings in payload for r in rings]
+        coords = [c for c in coords if len(c)]
+        if not coords:
+            # legal empty geometry (POLYGON EMPTY etc.): a null bbox
+            # row, not a task-killing np.concatenate crash — downstream
+            # cover explodes drop the row exactly like a null geometry
+            rows.append((None, None, None, None))
+            continue
         allc = np.concatenate(coords, axis=0)
         rows.append((float(allc[:, 0].min()), float(allc[:, 1].min()),
                      float(allc[:, 0].max()), float(allc[:, 1].max())))
@@ -342,9 +378,13 @@ def compact_cover(cover: DataFrame, key_cols=("poly_id",),
         removed = df.withColumn("_parent", F.when(
             tiles.cell_res(F.col(cell_col)) == r, parent)
         ).join(full, [*keys, "_parent"], "left_anti").drop("_parent")
+        # distinct: mixed-res input may ALREADY hold a collapsed
+        # parent (P present alongside P's 4 children) — without the
+        # dedup the duplicate P rows miscount the next level's
+        # sibling-group test and leak duplicate output rows
         df = removed.unionByName(
             full.select(*keys, F.col("_parent").alias(cell_col))
-        ).localCheckpoint()
+        ).distinct().localCheckpoint()
         levels.add(r - 1)
     return df
 
@@ -518,7 +558,7 @@ def point_in_polygon_join_compact(
     # cover_cells_dyn emits one uniform resolution per feature, so the
     # one-pass compact applies (no per-level driver loop); persisted:
     # used twice (the levels collect below + the candidate join)
-    # default max_depth=8 is lossless up to 65,536-cell covers — 4x the
+    # default max_depth=8 is lossless up to 65,536-cell covers — 16x the
     # 4,096 cap even before the cap's one-level slack; the dyn-cover
     # explode emits distinct cells per feature by construction
     compacted = compact_cover_uniform(
@@ -542,8 +582,7 @@ def point_in_polygon_join_compact(
     right = compacted.join(payload, keys, "inner")
     for c in keys:
         right = right.withColumnRenamed(c, f"poly_{c}")
-    if broadcast_polygons:
-        right = F.broadcast(right)
+    right = _apply_broadcast_dial(right, broadcast_polygons)
     cand = pts.join(right, "cell", "inner")
     cand = cand.filter(
         F.col(lon_col).between(F.col("poly_bbox.xmin"),
@@ -559,6 +598,13 @@ def point_in_polygon_join_compact(
             point_in_wkb_polygon(F.col(lon_col), F.col(lat_col),
                                  F.col("poly_geometry"))
         )
+    # output-contract parity with the uniform join: 'cell' is the
+    # point's OWN res-level tile, not the (possibly coarse) compacted
+    # cover cell the equi-join happened to match on. A feature's
+    # compacted cover cells are disjoint, so each (point, polygon) pair
+    # appears exactly once and the overwrite is a pure projection.
+    refined = refined.withColumn(
+        "cell", tiles.cell_id(F.col(lon_col), F.col(lat_col), res))
     if how == "left":
         return _left_extend_points(in_points, refined, point_id_col,
                                    res, lon_col, lat_col)
@@ -624,22 +670,24 @@ def point_in_polygon_join(
     else:
         keys = ["cell"]
 
-    right = F.broadcast(cover) if broadcast_polygons else cover
+    right = _apply_broadcast_dial(cover, broadcast_polygons)
     cand = pts.join(right, keys, "inner")
-    geo = "poly_geometry" if "poly_geometry" in cand.columns else "geometry"
-    bbox = "poly_bbox" if "poly_bbox" in cand.columns else "bbox"
+    # the rename loop above guarantees poly_-prefixed geometry/bbox
     # native bbox pre-filter: candidates outside the polygon's bbox never
     # reach the Arrow refine (cuts Python-bound rows before the UDF)
     cand = cand.filter(
-        F.col(lon_col).between(F.col(f"{bbox}.xmin"), F.col(f"{bbox}.xmax"))
-        & F.col(lat_col).between(F.col(f"{bbox}.ymin"), F.col(f"{bbox}.ymax"))
+        F.col(lon_col).between(F.col("poly_bbox.xmin"),
+                               F.col("poly_bbox.xmax"))
+        & F.col(lat_col).between(F.col("poly_bbox.ymin"),
+                                 F.col("poly_bbox.ymax"))
     )
     if refine == "native":
         refined = cand.filter(
             native_pip_predicate(lon_col, lat_col)).drop("_segsets")
     else:
         refined = cand.filter(
-            point_in_wkb_polygon(F.col(lon_col), F.col(lat_col), F.col(geo))
+            point_in_wkb_polygon(F.col(lon_col), F.col(lat_col),
+                                 F.col("poly_geometry"))
         )
     if point_salt and point_salt > 1:
         refined = refined.drop("_salt")
@@ -651,16 +699,13 @@ def point_in_polygon_join(
 
 def cover_size_expr(bbox_col: str, res: int) -> F.Column:
     """Number of cells a bbox covers at ``res`` — closed-form, no
-    explode (the routing statistic for :func:`point_in_polygon_join_auto`)."""
-    n = 1 << res
+    explode (the routing statistic for :func:`point_in_polygon_join_auto`).
+    Built on tiles.cell_x/cell_y so the clamped-index formula exists in
+    ONE place (bit-for-bit agreement with cover generation is
+    load-bearing for routing/cover parity)."""
     b = F.col(bbox_col)
-
-    def idx(coord, offset, extent):
-        v = F.floor((coord + F.lit(offset)) / F.lit(extent) * F.lit(float(n)))
-        return F.greatest(F.lit(0), F.least(F.lit(n - 1), v)).cast("long")
-
-    nx = idx(b["xmax"], 180.0, 360.0) - idx(b["xmin"], 180.0, 360.0) + 1
-    ny = idx(b["ymax"], 90.0, 180.0) - idx(b["ymin"], 90.0, 180.0) + 1
+    nx = tiles.cell_x(b["xmax"], res) - tiles.cell_x(b["xmin"], res) + 1
+    ny = tiles.cell_y(b["ymax"], res) - tiles.cell_y(b["ymin"], res) + 1
     return nx * ny
 
 
@@ -849,7 +894,11 @@ def raster_polygon_join(
     for c in cover.columns:
         if c not in ("cell", "_segsets") and not c.startswith("poly_"):
             cover = cover.withColumnRenamed(c, f"poly_{c}")
-    right = F.broadcast(cover) if broadcast_polygons else cover
+    if cell_col != "cell":
+        # the cover always emits 'cell'; align it with the caller's
+        # tile-key name so the equi-join resolves
+        cover = cover.withColumnRenamed("cell", cell_col)
+    right = _apply_broadcast_dial(cover, broadcast_polygons)
     cand = tiles_df.join(right, cell_col, "inner")
     x0, y0, x1, y1 = tile_rect(cell_col, res)
     edge_hit = F.exists(
@@ -866,13 +915,7 @@ def raster_polygon_join(
                   .drop("_segsets")
     if how == "inner":
         return matched
-    unmatched = tiles_df.join(
-        matched.select(cell_col), cell_col, "left_anti")
-    for fld in matched.schema.fields:
-        if fld.name not in unmatched.columns:
-            unmatched = unmatched.withColumn(
-                fld.name, F.lit(None).cast(fld.dataType))
-    return matched.unionByName(unmatched.select(matched.columns))
+    return _left_union(matched, tiles_df, cell_col)
 
 
 # --------------------------------------------------------------------------

@@ -642,3 +642,122 @@ def test_compact_cover_uniform_full_grid_single_parent(spark):
     out = compact_cover_uniform(df, key_cols=("fid",)).collect()
     assert len(out) == 1
     assert TT.decode_py(out[0]["cell"]) == (res - k, 0, 0)
+
+
+# --------------------------------------------------------------------------
+# Round-3 review fixes
+# --------------------------------------------------------------------------
+
+def test_pip_compact_cell_column_is_res_level(spark, images, buildings):
+    """The compact join's 'cell' output must be the point's OWN
+    res-level tile (parity with the uniform join), not the coarser
+    compacted cover cell the equi-join matched on."""
+    from pyrosm_spark.operators.spatial_join import (
+        point_in_polygon_join,
+        point_in_polygon_join_compact,
+    )
+
+    big = G.wkb_polygon([np.array(
+        [[24.80, 60.15], [25.20, 60.15], [25.20, 60.45],
+         [24.80, 60.45], [24.80, 60.15]])])
+    polys = spark.createDataFrame(
+        [(999, "way", bytearray(big))],
+        "id long, osm_type string, geometry binary")
+    uni = {(r["image_id"], r["cell"]) for r in point_in_polygon_join(
+        images, polys, res=12).select("image_id", "cell").collect()}
+    cmp_ = {(r["image_id"], r["cell"]) for r in
+            point_in_polygon_join_compact(
+                images, polys, res=12).select("image_id", "cell").collect()}
+    assert uni == cmp_ and uni
+    # every emitted cell is at res 12
+    assert all(c >> TT._RES_SHIFT == 12 for _, c in cmp_)
+
+
+def test_wkb_bbox_empty_geometry_yields_null(spark):
+    """POLYGON EMPTY (0 rings) is legal WKB: the bbox kernel must emit
+    a null bbox row, not crash the task."""
+    import struct
+
+    from pyrosm_spark.operators.spatial_join import wkb_bbox
+
+    empty_poly = struct.pack("<BII", 1, 3, 0)      # little-endian, 0 rings
+    empty_line = struct.pack("<BII", 1, 2, 0)      # 0-point linestring
+    ok = G.wkb_polygon([np.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]])])
+    df = spark.createDataFrame(
+        [(1, bytearray(empty_poly)), (2, bytearray(empty_line)),
+         (3, bytearray(ok)), (4, None)],
+        "id long, geometry binary")
+    rows = {r["id"]: r["b"] for r in df.select(
+        "id", wkb_bbox(F.col("geometry")).alias("b")).collect()}
+    assert rows[1]["xmin"] is None and rows[2]["xmin"] is None
+    assert rows[4]["xmin"] is None
+    assert rows[3]["xmin"] == 0.0 and rows[3]["ymax"] == 1.0
+
+
+def test_raster_polygon_join_custom_cell_col(spark, images, buildings):
+    """cell_col other than 'cell' must work — the cover side renames
+    its join key to match."""
+    from pyrosm_spark.operators.spatial_join import raster_polygon_join
+
+    res = 14
+    t = assign_tiles(images, res).groupBy("cell").count() \
+        .withColumnRenamed("cell", "tile_cell")
+    got = raster_polygon_join(t, buildings, res=res, cell_col="tile_cell")
+    ref = raster_polygon_join(
+        t.withColumnRenamed("tile_cell", "cell"), buildings, res=res)
+    a = {(r["tile_cell"], r["poly_id"]) for r in got.collect()}
+    b = {(r["cell"], r["poly_id"]) for r in ref.collect()}
+    assert a == b and a
+
+
+def test_broadcast_false_forbids_broadcast(spark, images, buildings):
+    """broadcast_polygons=False must keep the tiny cover out of a
+    broadcast join (shuffle_hash hint) — AQE would otherwise broadcast
+    it regardless."""
+    j_false = point_in_polygon_join(images, buildings, res=15,
+                                    broadcast_polygons=False)
+    j_true = point_in_polygon_join(images, buildings, res=15,
+                                   broadcast_polygons=True)
+    plan_false = j_false._jdf.queryExecution().executedPlan().toString()
+    plan_true = j_true._jdf.queryExecution().executedPlan().toString()
+    # assert on the CELL join specifically — upstream feature-assembly
+    # joins (relation member lookups) legitimately broadcast either way
+    assert "ShuffledHashJoin [cell" in plan_false
+    assert "BroadcastHashJoin [cell" not in plan_false
+    assert "BroadcastHashJoin [cell" in plan_true
+
+
+def test_compact_cover_tolerates_preexisting_parent(spark):
+    """Mixed-res input holding a parent AND its 4 children must not
+    leak duplicate rows or miscount the next level's sibling groups."""
+    from pyrosm_spark.operators.spatial_join import compact_cover
+
+    r, pr = 2, 1
+    px, py = 1, 1
+    parent = (pr << TT._RES_SHIFT) + (px << TT._X_SHIFT) + py
+    children = [
+        (r << TT._RES_SHIFT) + ((2 * px + dx) << TT._X_SHIFT) + (2 * py + dy)
+        for dx in (0, 1) for dy in (0, 1)
+    ]
+    rows = [(7, c) for c in children] + [(7, parent)]
+    df = spark.createDataFrame(rows, "poly_id long, cell long")
+    out = compact_cover(df, key_cols=("poly_id",))
+    got = [r["cell"] for r in out.collect()]
+    assert sorted(got) == sorted(set(got)), "duplicate rows leaked"
+    assert parent in got
+
+
+def test_left_join_pins_matched_once(spark, images, buildings):
+    """how='left' must evaluate the candidate join + refine ONCE: the
+    matched frame is pinned and both union arms read the cache."""
+    from pyrosm_spark.operators import spatial_join as SJ
+
+    j = point_in_polygon_join(images, buildings, res=15, how="left",
+                              point_id_col="image_id")
+    assert SJ._PINNED.get("left_union"), "matched frame not pinned"
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    # and the left contract still holds
+    n_points = images.count()
+    assert j.select("image_id").distinct().count() == n_points
