@@ -536,7 +536,7 @@ def point_in_polygon_join_compact(
     in_points = points
     if "bbox" not in polygons.columns:
         polygons = polygons.withColumn("bbox", wkb_bbox(F.col("geometry")))
-    if refine == "native":
+    if refine == "native" and "_segsets" not in polygons.columns:
         polygons = polygons.withColumn(
             "_segsets", wkb_segment_sets(F.col("geometry")))
     # The polygon side is the feature side — orders of magnitude below
@@ -649,7 +649,9 @@ def point_in_polygon_join(
     if how not in ("inner", "left"):
         raise ValueError(f"unknown how {how!r} (inner|left)")
     pts = assign_tiles(points, res, lon_col, lat_col)
-    if refine == "native":
+    if refine == "native" and "_segsets" not in polygons.columns:
+        # callers (streaming_pip_join) may pre-decode + persist the
+        # segment sets; recomputing would defeat their cache
         polygons = polygons.withColumn(
             "_segsets", wkb_segment_sets(F.col("geometry")))
     cover = polygon_cover(polygons, res)

@@ -61,8 +61,17 @@ def _file_stream(spark, schema, path: str, max_files_per_trigger: int):
         dst = os.path.join(stage_dir, os.path.basename(path))
         if not os.path.exists(dst):
             os.makedirs(stage_dir, exist_ok=True)
-            shutil.copy2(path, dst + ".tmp")
-            os.rename(dst + ".tmp", dst)
+            # per-process temp name + atomic replace: a shared ".tmp"
+            # would let two concurrent stagers interleave writes and
+            # rename a corrupt file into the content-addressed dir
+            fd, tmp = tempfile.mkstemp(dir=stage_dir, suffix=".tmp")
+            os.close(fd)
+            try:
+                shutil.copy2(path, tmp)
+                os.replace(tmp, dst)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         path = stage_dir
     return (
         spark.readStream.format("parquet")
@@ -158,14 +167,28 @@ def streaming_exact_dedup(images: DataFrame, event_time_col: str = None,
     is not an option); without one, state grows with distinct keys
     (dev/test mode).
     """
-    # rows with NULL phash have UNKNOWN content: they must never dedupe
-    # against each other (concat_ws would silently drop the NULL and
-    # collide them on dimensions alone), so they key by their own id
+    # Key ladder, most- to least-specific, all NULL-safe:
+    #   1. (phash, w, h) with explicit null markers — concat_ws would
+    #      silently DROP a NULL w/h and collide rows with different
+    #      (unknown) dimensions;
+    #   2. md5(bytes) — content identity straight from the payload;
+    #   3. the row's own id (unknown content must never dedupe against
+    #      other unknown content);
+    #   4. uuid() — a row with nothing known keeps itself (a NULL key
+    #      would make ALL such rows dedupe into one).
+    def _ns(c):  # null-safe string part ('\0' cannot be a real value)
+        return F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+
     keyed = images.withColumn(
         "content_key",
         F.when(F.col("phash").isNotNull(),
-               F.concat_ws(":", F.col("phash"), F.col("w"), F.col("h")))
-        .otherwise(F.concat(F.lit("id:"), F.col("image_id"))))
+               F.concat_ws(":", F.lit("p"), _ns("phash"), _ns("w"),
+                           _ns("h")))
+        .when(F.col("bytes").isNotNull(),
+              F.concat(F.lit("b:"), F.md5(F.col("bytes"))))
+        .when(F.col("image_id").isNotNull(),
+              F.concat(F.lit("id:"), F.col("image_id")))
+        .otherwise(F.concat(F.lit("u:"), F.expr("uuid()"))))
     if event_time_col is not None:
         return keyed.withWatermark(
             event_time_col, watermark
@@ -181,13 +204,17 @@ def run_to_memory(stream_df: DataFrame, name: str,
         stream_df.writeStream.format("memory").queryName(name)
         .outputMode(output_mode).start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        # a poison micro-batch must not leave the query registered
+        # (the name would collide on the next run) and holding resources
+        q.stop()
     return q
 
 
 def streaming_pip_join(images: DataFrame, polygons,
-                       res: int = 15) -> DataFrame:
+                       res: int = 15, **kw) -> DataFrame:
     """Stream-static point-in-polygon join: a STREAMING image/point
     source against a STATIC (batch) polygon frame — the standard
     Structured Streaming enrichment shape (stream-static joins are
@@ -196,10 +223,38 @@ def streaming_pip_join(images: DataFrame, polygons,
     stream results equal the batch join on the same input by
     construction — that equality is the test.
 
+    The static side's expensive preparation (WKB bbox + segment-set
+    Arrow decode) is computed HERE and persisted: stream-static joins
+    re-evaluate the static subtree on EVERY micro-batch, so leaving the
+    decode inside the per-batch plan would re-run the only Python step
+    once per trigger instead of once per stream. Extra keyword dials
+    (``broadcast_polygons``, ``refine``, ``lon_col``/``lat_col``,
+    ``point_salt``) forward to :func:`point_in_polygon_join`;
+    ``how='left'`` is rejected — its anti-join arm cannot execute on an
+    unbounded stream.
+
     At scale the static polygon cover is the broadcast dimension
     (cells x features), the stream is the fact side; no state store,
     no watermark needed.
     """
-    from pyrosm_spark.operators.spatial_join import point_in_polygon_join
+    from pyrosm_spark.operators.spatial_join import (
+        _pin,
+        _release_pins,
+        point_in_polygon_join,
+        wkb_bbox,
+        wkb_segment_sets,
+    )
 
-    return point_in_polygon_join(images, polygons, res=res)
+    if kw.get("how", "inner") != "inner":
+        raise ValueError("streaming_pip_join supports how='inner' only "
+                         "(the left arm's anti-join cannot run on an "
+                         "unbounded stream)")
+    if "bbox" not in polygons.columns:
+        polygons = polygons.withColumn("bbox", wkb_bbox(F.col("geometry")))
+    if kw.get("refine", "native") == "native" \
+            and "_segsets" not in polygons.columns:
+        polygons = polygons.withColumn(
+            "_segsets", wkb_segment_sets(F.col("geometry")))
+    _release_pins("stream_pip")
+    polygons = _pin("stream_pip", polygons)
+    return point_in_polygon_join(images, polygons, res=res, **kw)

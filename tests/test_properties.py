@@ -203,9 +203,6 @@ def test_polygonize_preserves_even_odd_parity(pts):
     px = rng.uniform(-12, 12, 80)
     py = rng.uniform(-12, 12, 80)
     orig = G.points_in_ring(px, py, ring)
-    union = np.zeros_like(orig)
-    for p in parts:
-        union |= G.points_in_ring(px, py, p)
     # union-of-simple-lobes equals parity only where windings don't
     # overlap; the exact invariant that always holds is XOR-parity
     xor = np.zeros_like(orig)
