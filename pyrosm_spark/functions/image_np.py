@@ -252,15 +252,32 @@ def vid_info(buf: bytes):
     return n, fps
 
 
-def decode_vid_frame(buf: bytes, idx: int) -> np.ndarray:
-    """Random-access decode of frame ``idx``."""
+def vid_frame_offsets(buf: bytes) -> list:
+    """Byte offset of each frame payload — ONE container walk, so a
+    caller sampling many frames pays O(n) total, not O(n²)."""
+    n, _ = vid_info(buf)
+    offs, off = [], 8
+    for _i in range(n):
+        (ln,) = struct.unpack_from("<I", buf, off)
+        offs.append(off)
+        off += 4 + ln
+    return offs
+
+
+def decode_vid_frame(buf: bytes, idx: int,
+                     offsets: list | None = None) -> np.ndarray:
+    """Random-access decode of frame ``idx``; pass ``offsets`` from
+    :func:`vid_frame_offsets` to skip the per-call offset walk."""
     n, _ = vid_info(buf)
     if not 0 <= idx < n:
         raise IndexError(f"frame {idx} out of range 0..{n - 1}")
-    off = 8
-    for i in range(idx):
-        (ln,) = struct.unpack_from("<I", buf, off)
-        off += 4 + ln
+    if offsets is not None:
+        off = offsets[idx]
+    else:
+        off = 8
+        for _i in range(idx):
+            (ln,) = struct.unpack_from("<I", buf, off)
+            off += 4 + ln
     (ln,) = struct.unpack_from("<I", buf, off)
     return decode_qimg(buf[off + 4:off + 4 + ln])
 

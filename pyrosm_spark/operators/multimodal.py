@@ -83,7 +83,7 @@ def resize_images(images: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFram
                     continue
                 try:
                     px = I.decode_image(bytes(r.bytes), r.fmt)
-                except (NotImplementedError, Exception):
+                except Exception:  # undecodable -> no thumbnail row
                     continue
                 ys = (np.arange(out_h + 1) * px.shape[0]) // out_h
                 xs = (np.arange(out_w + 1) * px.shape[1]) // out_w
@@ -128,11 +128,15 @@ def frame_sample(videos: DataFrame, every_n: int = 10,
             rows = []
             for r in pdf.itertuples():
                 vid = getattr(r, id_col)
-                buf = bytes(getattr(r, bytes_col))
+                raw = getattr(r, bytes_col)
                 try:
+                    if raw is None:
+                        raise ValueError("null video payload")
+                    buf = bytes(raw)
                     n, _fps = I.vid_info(buf)
+                    offs = I.vid_frame_offsets(buf)
                     for idx in range(0, n, max(every_n, 1)):
-                        px = I.decode_vid_frame(buf, idx)
+                        px = I.decode_vid_frame(buf, idx, offsets=offs)
                         rows.append((vid, idx, True, None,
                                      px.shape[1], px.shape[0],
                                      I.phash64(px)))
@@ -176,6 +180,8 @@ def audio_features(audio: DataFrame) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 try:
+                    if r.bytes is None:
+                        raise ValueError("null audio payload")
                     wave = A.decode_audio(bytes(r.bytes), r.fmt,
                                           r.n_channels)
                     n = len(wave)
@@ -185,10 +191,11 @@ def audio_features(audio: DataFrame) -> DataFrame:
                                  round(A.zero_crossing_rate(wave), 6),
                                  round(A.peak_amplitude(wave), 6),
                                  dur == r.duration_ms))
-                except (NotImplementedError, ValueError) as e:
+                except (NotImplementedError, ValueError, TypeError) as e:
                     # ValueError = malformed payload (odd byte count,
-                    # channel mismatch) — poison rows land in `err`,
-                    # never fail the job
+                    # channel mismatch); TypeError = null metadata
+                    # (sample_rate / n_channels) — poison rows land in
+                    # `err`, never fail the job
                     rows.append((r.audio_id, False, str(e), None, None,
                                  None, None, None, None))
             yield pd.DataFrame(rows, columns=[

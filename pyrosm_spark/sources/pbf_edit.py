@@ -194,9 +194,14 @@ def apply_feature_edits(
         dt = d.filter(F.col("osm_type") == otype)
         edits[otype] = dt.join(b.select("id"), "id", "left_semi")
         news.append(dt.join(b.select("id"), "id", "left_anti"))
-    # rows with no type at all (no osm_type, no geometry) are new rows
-    # with nothing to synthesize from -> surfaced as the empty-geom error
-    news.append(d.filter(F.col("osm_type").isNull()))
+    # rows whose type is null (no osm_type, no geometry) or not an OSM
+    # element kind never match the base, so they are new rows — the
+    # reference's _collect_edits else-branch (pbf_writer.py:186-198)
+    # synthesizes them from geometry (or raises via add_geometry);
+    # silent drops are never allowed
+    news.append(d.filter(
+        F.col("osm_type").isNull()
+        | ~F.col("osm_type").isin("node", "way", "relation")))
     new_rows = news[0]
     for extra in news[1:]:
         new_rows = new_rows.unionByName(extra)

@@ -41,23 +41,30 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-_DATA_EXTENSIONS = (".parquet", ".parq", ".orc", ".csv", ".json", ".avro")
+_EXT_FORMAT = {
+    ".parquet": "parquet", ".parq": "parquet", ".orc": "orc",
+    ".csv": "csv", ".json": "json", ".avro": "avro",
+}
 
 
 def _infer_format(location: str) -> str:
     """'iceberg' for catalog identifiers (``cat.db.tbl`` — no path
     separator AND not an existing file/dir) or Iceberg table
-    directories (a ``metadata/`` folder next to ``data/``); 'parquet'
-    otherwise. An existing relative path (``images.parquet`` in the
-    cwd) is data, never an identifier; so is any NOT-yet-existing
-    location with a known data-file extension (``out.parquet`` on the
-    write path must create a parquet file, not resolve a catalog
-    identifier)."""
+    directories (a ``metadata/`` folder next to ``data/``); the
+    extension's own format for known data-file extensions (an
+    ``out.csv`` must dispatch to the csv connector, not the parquet
+    reader); 'parquet' otherwise. An existing relative path
+    (``images.parquet`` in the cwd) is data, never an identifier —
+    this covers the write path too, where the location may not exist
+    yet but must still never resolve as a catalog identifier."""
+    if os.path.exists(location) and os.path.isdir(
+            os.path.join(location, "metadata")):
+        return "iceberg"
+    low = location.lower()
+    for ext, fmt in _EXT_FORMAT.items():
+        if low.endswith(ext):
+            return fmt
     if os.path.exists(location):
-        if os.path.isdir(os.path.join(location, "metadata")):
-            return "iceberg"
-        return "parquet"
-    if location.lower().endswith(_DATA_EXTENSIONS):
         return "parquet"
     if "/" not in location and "\\" not in location:
         return "iceberg"

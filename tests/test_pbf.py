@@ -616,6 +616,25 @@ def test_apply_feature_edits_synthesizes_new_elements(spark, synth_dir):
     assert pg_way["refs"][0] == pg_way["refs"][-1]  # closed ring
 
 
+def test_apply_feature_edits_unknown_osm_type_is_new_row(spark,
+                                                         synth_dir):
+    """A row with a junk ``osm_type`` ('area', typos) never matches the
+    base, so it must become a NEW element synthesized from its geometry
+    — the reference's _collect_edits else-branch
+    (pbf_writer.py:186-198) — never a silent drop."""
+    from pyrosm_spark.sources.pbf_edit import apply_feature_edits
+
+    nodes, ways, rels = _edit_base(spark, synth_dir)
+    n_base = nodes.count()
+    junk = spark.createDataFrame(
+        [(None, "area", bytearray(G.wkb_point(24.5, 60.4)), "park")],
+        "id long, osm_type string, geometry binary, leisure string")
+    n2, w2, _ = apply_feature_edits(nodes, ways, rels, junk)
+    synth = n2.filter("id < 0").collect()
+    assert len(synth) == 1 and n2.count() == n_base + 1
+    assert dict(synth[0]["tags"]) == {"leisure": "park"}
+
+
 def test_apply_feature_edits_rejects_unsupported_geometry(spark,
                                                           synth_dir):
     from pyrosm_spark.sources.pbf_edit import apply_feature_edits

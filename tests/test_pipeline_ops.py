@@ -269,6 +269,43 @@ def test_frame_sample_vid1(spark):
     assert not bad["ok"] and "NotImplementedError" in bad["err"]
 
 
+def test_media_null_payloads_degrade_per_row(spark):
+    """NULL payload / NULL metadata rows become err records — a poison
+    row must never kill a 100 TB decode job mid-stage."""
+    from pyrosm_spark.functions import image_np as I
+    from pyrosm_spark.operators.multimodal import audio_features
+
+    vids = spark.createDataFrame(
+        [("v1", bytearray(I.synth_video(1, 8, 8, 2))), ("vnull", None)],
+        "video_id string, bytes binary")
+    out = {r["video_id"]: r for r in M.frame_sample(vids, 1).collect()
+           if r["frame_idx"] <= 0}
+    assert out["v1"]["ok"] and not out["vnull"]["ok"]
+    assert "null video payload" in out["vnull"]["err"]
+
+    aud = spark.createDataFrame(
+        [("a1", None, 8000, 1, "pcm16", 0),
+         ("a2", bytearray(b"\x00\x00" * 80), None, 1, "pcm16", 10)],
+        "audio_id string, bytes binary, sample_rate int, "
+        "n_channels int, fmt string, duration_ms int")
+    feats = {r["audio_id"]: r for r in audio_features(aud).collect()}
+    assert not feats["a1"]["ok"] and "null audio payload" in feats["a1"]["err"]
+    assert not feats["a2"]["ok"]  # null sample_rate -> err, not a crash
+
+
+def test_vid_frame_offsets_fast_path():
+    """Offset-table decode == per-call walk decode, every frame."""
+    from pyrosm_spark.functions import image_np as I
+
+    buf = I.synth_video(5, 10, 6, 9)
+    offs = I.vid_frame_offsets(buf)
+    assert len(offs) == 9
+    for i in range(9):
+        a = I.decode_vid_frame(buf, i)
+        b = I.decode_vid_frame(buf, i, offsets=offs)
+        assert (a == b).all()
+
+
 def test_blocked_self_join_equals_plain(spark, docs, synth_dir):
     """Skew-blocked pair enumeration must produce the identical pair set."""
     import os

@@ -18,6 +18,24 @@ def test_infer_format(tmp_path):
     assert _infer_format(str(tmp_path)) == "iceberg"
 
 
+def test_infer_format_extension_dispatch(tmp_path):
+    # a known data extension dispatches to ITS connector, existing or
+    # not — never the parquet reader and never a catalog identifier
+    assert _infer_format("out.csv") == "csv"
+    assert _infer_format(str(tmp_path / "x" / "t.orc")) == "orc"
+    assert _infer_format("events.json") == "json"
+    p = tmp_path / "existing.csv"
+    p.write_text("a,b\n1,2\n")
+    assert _infer_format(str(p)) == "csv"
+
+
+def test_read_table_csv_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t.csv")
+    spark.range(3).toDF("id").coalesce(1).write.csv(path)
+    df = read_table(spark, path)  # fmt='auto' must dispatch to csv
+    assert df.count() == 3
+
+
 def test_read_table_parquet_matches_native(spark):
     path = f"{SF_DIR}/nation.parquet"
     via_source = read_table(spark, path)
