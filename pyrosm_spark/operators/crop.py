@@ -93,13 +93,20 @@ def crop_to_dataset(
 
     from pyrosm_spark.sources.table import write_table
 
+    import pyarrow.parquet as pq
+
     n, w, r = crop_tables(nodes, ways, relations, bbox)
     counts = {}
     for name, df in (("osm_nodes", n), ("osm_ways", w),
                      ("osm_relations", r)):
         path = os.path.join(out_dir, f"{name}.parquet")
         write_table(df, path, fmt="parquet")
-        counts[name] = df.count()
+        # manifest counts come from the written footers — counting the
+        # DataFrame would re-execute the whole crop cascade per table
+        counts[name] = sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _d, fs in os.walk(path) for f in fs
+            if f.endswith(".parquet"))
     return counts
 
 
