@@ -1,0 +1,230 @@
+"""Z-order (Morton) spatial data layout: clustered writes + pruned scans.
+
+The reference never owns data layout — it re-parses the whole PBF for
+every query and relies on its bbox filter to drop rows *after* decode
+(``pyrosm/pbfreader.pyx:164-179``). At 10^12-row scale the dominant
+cost is the scan itself, so the engine must be able to *lay data out*
+so a spatial query never reads the 99.9% of row groups that cannot
+match. This module provides the standard lakehouse answer (the
+Databricks OPTIMIZE ZORDER / Iceberg sort-order pattern) from scratch:
+
+* :func:`morton_key` — closed-form SQL Morton interleave of the quad
+  grid's (x, y) indices (``functions/tiles.py`` scheme). Pure
+  whole-stage-codegen arithmetic, no UDF; :func:`morton_key_sql` is
+  the identical ANSI-SQL text so DuckDB oracles can reproduce keys
+  bit-for-bit.
+* :func:`write_spatial_clustered` — ``repartitionByRange`` on the
+  Morton key + ``sortWithinPartitions``, so every output file covers a
+  disjoint key range and every parquet row group carries tight
+  min/max statistics on the key column.
+* :func:`scan_spatial` — turns a bbox into a compacted set of cover
+  cells, each cover cell into one *contiguous* Morton-range predicate
+  (Z-order is hierarchical: all res-R descendants of a res-p cell
+  share a 2p-bit prefix), merges adjacent ranges, and pushes the
+  resulting OR-of-BETWEENs into the parquet scan. Catalyst turns each
+  range into row-group-statistics pruning — on clustered data the
+  scan touches only the row groups whose key window intersects the
+  query, file- and row-group-level.
+
+Why Morton and not the raw ``cell_id``: the raw encoding stores x and
+y in separate bit fields, so spatially adjacent cells are up to 2^29
+apart in key space and a bbox maps to O(height) disjoint stripes.
+Bit interleave makes descendants of any quad cell a single contiguous
+range, so a bbox compacts to a handful of BETWEENs regardless of
+resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyrosm_spark.functions.tiles import (
+    MAX_RES,
+    bbox_cover_py,
+    cell_x,
+    cell_y,
+    compact_py,
+    decode_py,
+)
+
+# Classic part1by1 bit spread (even-bit positions), valid for inputs
+# < 2^32 — grid indices are < 2^29. All masks are positive int64.
+_SPREAD_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_col(v: Column) -> Column:
+    for shift, mask in _SPREAD_STEPS:
+        v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+    return v
+
+
+def _spread_py(v: int) -> int:
+    for shift, mask in _SPREAD_STEPS:
+        v = (v | (v << shift)) & mask
+    return v
+
+
+def _spread_sql(expr: str) -> str:
+    for shift, mask in _SPREAD_STEPS:
+        expr = f"((({expr}) | (({expr}) << {shift})) & {mask})"
+    return expr
+
+
+def morton_key(lon: Column, lat: Column, res: int) -> Column:
+    """int64 Morton (Z-order) key of the res-``res`` grid cell holding
+    (lon, lat): x bits in even positions shifted up by one, y in even
+    positions — ``z < 2**(2*res)``, always non-negative for
+    ``res <= 29``."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution must be in [0, {MAX_RES}]")
+    zx = _spread_col(cell_x(lon, res))
+    zy = _spread_col(cell_y(lat, res))
+    return F.shiftleft(zx, 1).bitwiseOR(zy)
+
+
+def morton_key_sql(lon: str, lat: str, res: int) -> str:
+    """The identical key as ANSI SQL text (DuckDB mirror)."""
+    n = 1 << res
+    x = (
+        f"GREATEST(0, LEAST({n - 1}, "
+        f"CAST(FLOOR(({lon} + 180.0) / 360.0 * {float(n)}) AS BIGINT)))"
+    )
+    y = (
+        f"GREATEST(0, LEAST({n - 1}, "
+        f"CAST(FLOOR(({lat} + 90.0) / 180.0 * {float(n)}) AS BIGINT)))"
+    )
+    return f"((({_spread_sql(x)}) << 1) | ({_spread_sql(y)}))"
+
+
+def morton_py(lon: float, lat: float, res: int) -> int:
+    """Driver-side mirror of :func:`morton_key`."""
+    n = 1 << res
+    x = min(n - 1, max(0, int((lon + 180.0) / 360.0 * n)))
+    y = min(n - 1, max(0, int((lat + 90.0) / 180.0 * n)))
+    return (_spread_py(x) << 1) | _spread_py(y)
+
+
+def cell_morton_range_py(cell: int, res: int) -> tuple:
+    """Inclusive (lo, hi) Morton-key window at resolution ``res`` of
+    every descendant of ``cell`` (any resolution <= ``res``): Z-order
+    is prefix-hierarchical, so the window is contiguous."""
+    p, x, y = decode_py(cell)
+    if p > res:
+        raise ValueError(f"cover cell res {p} exceeds key res {res}")
+    z = (_spread_py(x) << 1) | _spread_py(y)
+    span = 2 * (res - p)
+    return z << span, ((z + 1) << span) - 1
+
+
+def _merge_ranges(ranges: list) -> list:
+    """Coalesce overlapping/adjacent inclusive ranges (sorted by lo)."""
+    out: list = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def bbox_morton_ranges_py(bbox: tuple, res: int,
+                          max_ranges: int = 64) -> list:
+    """Merged, inclusive Morton-key ranges at resolution ``res``
+    covering every grid cell that intersects ``bbox`` (lon_min,
+    lat_min, lon_max, lat_max).
+
+    The cover resolution adapts: start from ``res`` and coarsen until
+    the raw cover is small (cheap closed-form count — no enumeration),
+    then compact full sibling blocks so large interiors collapse to
+    single coarse ranges. Driver cost is O(cover size), bounded by
+    ``max_ranges`` before the merge.
+    """
+    lon_min, lat_min, lon_max, lat_max = bbox
+    cover_res = res
+    while cover_res > 0:
+        n = 1 << cover_res
+        x0 = min(n - 1, max(0, int((lon_min + 180.0) / 360.0 * n)))
+        x1 = min(n - 1, max(0, int((lon_max + 180.0) / 360.0 * n)))
+        y0 = min(n - 1, max(0, int((lat_min + 90.0) / 180.0 * n)))
+        y1 = min(n - 1, max(0, int((lat_max + 90.0) / 180.0 * n)))
+        if (x1 - x0 + 1) * (y1 - y0 + 1) <= max_ranges:
+            break
+        cover_res -= 1
+    cells = compact_py(bbox_cover_py(lon_min, lat_min,
+                                     lon_max, lat_max, cover_res))
+    return _merge_ranges([cell_morton_range_py(c, res) for c in cells])
+
+
+def write_spatial_clustered(
+    df: DataFrame,
+    path: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int = 15,
+    key_col: str = "_zkey",
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` as parquet Z-order-clustered on (lon, lat).
+
+    ``repartitionByRange`` gives each output file a disjoint key
+    window; ``sortWithinPartitions`` makes every row group's min/max
+    on ``key_col`` tight. The key column is persisted — it is what
+    :func:`scan_spatial`'s pushed range predicates prune on (and it
+    doubles as the res-``res`` cell identity for downstream tile
+    work). On a real cluster the same two calls express the layout of
+    a 10^12-row table: the exchange is one range shuffle, the sort is
+    per-partition, nothing ever gathers to the driver.
+    """
+    keyed = df.withColumn(key_col, morton_key(
+        F.col(lon_col), F.col(lat_col), res))
+    if num_files is None:
+        num_files = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+    (keyed.repartitionByRange(num_files, F.col(key_col))
+          .sortWithinPartitions(key_col)
+          .write.mode(mode).parquet(path))
+    return path
+
+
+def scan_spatial(
+    spark: SparkSession,
+    path: str,
+    bbox: tuple | None = None,
+    res: int = 15,
+    key_col: str = "_zkey",
+    exact: bool = True,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_ranges: int = 64,
+) -> DataFrame:
+    """Read a clustered table, pruning to the bbox via Morton ranges.
+
+    The OR-of-BETWEENs on ``key_col`` reaches the parquet reader as
+    pushed filters (int64 comparisons → row-group statistics skip);
+    ``exact=True`` additionally applies the precise lon/lat window so
+    results are independent of the cover's cell granularity.
+    """
+    df = spark.read.parquet(path)
+    if bbox is None:
+        return df
+    ranges = bbox_morton_ranges_py(bbox, res, max_ranges=max_ranges)
+    key = F.col(key_col)
+    cond = None
+    for lo, hi in ranges:
+        term = key.between(F.lit(lo), F.lit(hi))
+        cond = term if cond is None else cond | term
+    df = df.filter(cond)
+    if exact:
+        lon_min, lat_min, lon_max, lat_max = bbox
+        df = df.filter(
+            F.col(lon_col).between(lon_min, lon_max)
+            & F.col(lat_col).between(lat_min, lat_max))
+    return df

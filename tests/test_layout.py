@@ -1,0 +1,143 @@
+"""Z-order spatial layout: key parity, range algebra, clustered-scan
+pruning (sources/layout.py)."""
+
+import glob
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from pyrosm_spark.functions.tiles import encode_py
+from pyrosm_spark.sources.layout import (
+    _merge_ranges,
+    bbox_morton_ranges_py,
+    cell_morton_range_py,
+    morton_key,
+    morton_key_sql,
+    morton_py,
+    scan_spatial,
+    write_spatial_clustered,
+)
+
+BBOX = (-10.0, 20.0, 15.0, 45.0)
+RES = 12
+
+
+def _points(spark, n=50_000):
+    """Deterministic pseudo-random points, no RNG: multiplicative-hash
+    the row id into lon/lat so the layout has global spatial mixing
+    (the worst case for an unclustered scan)."""
+    return spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("id") * 40503 % 180000) / 1000.0 - 90.0).alias("lat"),
+    )
+
+
+def test_morton_key_matches_python_and_sql(spark):
+    df = _points(spark, 2_000).withColumn(
+        "z", morton_key(F.col("lon"), F.col("lat"), RES))
+    rows = df.collect()
+    for r in rows[:500]:
+        assert r.z == morton_py(r.lon, r.lat, RES), (r.lon, r.lat)
+    pdf = df.toPandas()
+    got = duckdb.sql(
+        f"SELECT {morton_key_sql('lon', 'lat', RES)} AS z FROM pdf"
+    ).df()["z"]
+    assert (got.to_numpy() == pdf["z"].to_numpy()).all()
+
+
+def test_cell_morton_range_contains_descendants():
+    # every point's res-RES morton key falls inside the window of any
+    # ancestor cell that contains the point
+    pts = [(-9.99, 20.01), (0.0, 30.0), (14.99, 44.99), (7.3, 21.7)]
+    for lon, lat in pts:
+        z = morton_py(lon, lat, RES)
+        for p in (0, 3, 7, RES):
+            lo, hi = cell_morton_range_py(encode_py(lon, lat, p), RES)
+            assert lo <= z <= hi, (lon, lat, p)
+    with pytest.raises(ValueError):
+        cell_morton_range_py(encode_py(0, 0, RES + 1), RES)
+
+
+def test_merge_ranges():
+    assert _merge_ranges([(5, 9), (0, 2), (3, 4), (12, 14)]) == [
+        (0, 9), (12, 14)]
+    assert _merge_ranges([(0, 10), (2, 3)]) == [(0, 10)]
+    assert _merge_ranges([]) == []
+
+
+def test_bbox_ranges_bounded_and_complete(spark):
+    ranges = bbox_morton_ranges_py(BBOX, RES, max_ranges=64)
+    assert 0 < len(ranges) <= 64
+    # completeness: every in-bbox point's key is inside some range
+    df = _points(spark, 20_000).filter(
+        F.col("lon").between(BBOX[0], BBOX[2])
+        & F.col("lat").between(BBOX[1], BBOX[3]))
+    keys = [r.z for r in df.select(morton_key(
+        F.col("lon"), F.col("lat"), RES).alias("z")).collect()]
+    assert keys
+    for z in keys:
+        assert any(lo <= z <= hi for lo, hi in ranges)
+
+
+def test_clustered_scan_matches_plain_filter(spark, tmp_path):
+    df = _points(spark)
+    path = str(tmp_path / "clustered")
+    write_spatial_clustered(df, path, res=RES, num_files=16)
+    got = sorted(r.id for r in scan_spatial(
+        spark, path, bbox=BBOX, res=RES).select("id").collect())
+    want = sorted(r.id for r in df.filter(
+        F.col("lon").between(BBOX[0], BBOX[2])
+        & F.col("lat").between(BBOX[1], BBOX[3])).select("id").collect())
+    assert got == want and want
+
+
+def test_zkey_ranges_are_pushed_filters(spark, tmp_path):
+    path = str(tmp_path / "clustered")
+    write_spatial_clustered(_points(spark, 5_000), path, res=RES,
+                            num_files=4)
+    df = scan_spatial(spark, path, bbox=BBOX, res=RES)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "_zkey" in plan.split("PushedFilters", 1)[1][:2000]
+
+
+def test_clustering_prunes_row_groups(spark, tmp_path):
+    """The at-scale point: on Z-clustered data only the row groups
+    whose _zkey window intersects the query ranges can match; on the
+    same data written unclustered, nearly every row group straddles
+    the whole key space. Measured from the parquet footers — exactly
+    the statistics the pushed BETWEENs prune on."""
+    df = _points(spark)
+    keyed = df.withColumn("_zkey", morton_key(
+        F.col("lon"), F.col("lat"), RES))
+    clustered = str(tmp_path / "clustered")
+    unclustered = str(tmp_path / "unclustered")
+    write_spatial_clustered(df, clustered, res=RES, num_files=16)
+    keyed.repartition(16).write.parquet(unclustered)
+
+    ranges = bbox_morton_ranges_py(BBOX, RES)
+
+    def matching_row_groups(root):
+        total = hit = 0
+        for f in glob.glob(os.path.join(root, "*.parquet")):
+            meta = pq.ParquetFile(f).metadata
+            idx = {meta.schema.column(i).name: i
+                   for i in range(meta.num_columns)}["_zkey"]
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                total += 1
+                if any(st.min <= hi and lo <= st.max
+                       for lo, hi in ranges):
+                    hit += 1
+        return hit, total
+
+    c_hit, c_total = matching_row_groups(clustered)
+    u_hit, u_total = matching_row_groups(unclustered)
+    assert u_hit == u_total  # unclustered: no row group can be skipped
+    assert c_total >= 8
+    # clustered: the large majority of row groups is skippable
+    assert c_hit * 3 <= c_total, (c_hit, c_total)
