@@ -109,6 +109,15 @@ def main():
     check("raster_polygon: hash join for cell equi-join",
           "HashJoin" in p)
 
+    # 5c. Z-order layout: the bbox scan's Morton ranges reach the
+    # parquet reader as pushed int64 filters (row-group stats pruning)
+    # and the plan holds zero Python nodes
+    p = plan_of(qs["zorder_pruned_scan"](spark, sf))
+    check("zorder scan: Morton ranges in PushedFilters",
+          "PushedFilters" in p and "_zkey" in p.split("PushedFilters")[-1][:400])
+    check("zorder scan: no Python in plan",
+          "ArrowEvalPython" not in p and "MapInPandas" not in p)
+
     # 6. relation assembly: the member probe broadcasts so the big
     # way/node tables never shuffle for a metadata-sized member list
     from pyrosm_spark.functions.filters import element_filter_column
