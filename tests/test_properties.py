@@ -281,3 +281,59 @@ def test_wkb_multipolygon_roundtrip(n_polys, seed):
         assert len(orig) == len(back)
         for r0, r1 in zip(orig, back):
             assert np.allclose(r0, r1)
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout kernels — sources/layout.py
+# --------------------------------------------------------------------------
+
+from pyrosm_spark.sources import layout as L  # noqa: E402
+
+
+@given(lons, lats, st.integers(min_value=0, max_value=tiles.MAX_RES))
+def test_morton_is_bit_interleave_of_grid_indices(lon, lat, res):
+    """morton_py == the naive bit-by-bit interleave of (x, y)."""
+    n = 1 << res
+    x = min(n - 1, max(0, int((lon + 180.0) / 360.0 * n)))
+    y = min(n - 1, max(0, int((lat + 90.0) / 180.0 * n)))
+    naive = 0
+    for b in range(res):
+        naive |= ((x >> b) & 1) << (2 * b + 1)
+        naive |= ((y >> b) & 1) << (2 * b)
+    z = L.morton_py(lon, lat, res)
+    assert z == naive
+    assert 0 <= z < (1 << (2 * res))
+
+
+@given(lons, lats,
+       st.integers(min_value=0, max_value=tiles.MAX_RES),
+       st.integers(min_value=0, max_value=tiles.MAX_RES))
+def test_cell_morton_range_covers_the_points_key(lon, lat, pres, kres):
+    """Every point's key at resolution kres falls inside the Morton
+    window of its own ancestor cell at any coarser resolution pres."""
+    if pres > kres:
+        pres, kres = kres, pres
+    cell = tiles.encode_py(lon, lat, pres)
+    lo, hi = L.cell_morton_range_py(cell, kres)
+    z = L.morton_py(lon, lat, kres)
+    assert lo <= z <= hi
+
+
+@given(st.lists(st.tuples(lons, lats), min_size=1, max_size=8),
+       st.tuples(lons, lons), st.tuples(lats, lats),
+       st.integers(min_value=1, max_value=tiles.MAX_RES))
+def test_bbox_morton_ranges_complete_and_sorted(points, lon_pair,
+                                                lat_pair, res):
+    """Ranges returned for a bbox are sorted, disjoint, and contain the
+    key of every point inside the bbox (completeness — false positives
+    are allowed, the exact filter removes them; false negatives never)."""
+    x0, x1 = sorted(lon_pair)
+    y0, y1 = sorted(lat_pair)
+    ranges = L.bbox_morton_ranges_py((x0, y0, x1, y1), res)
+    assert ranges == sorted(ranges)
+    for (l0, h0), (l1, h1) in zip(ranges, ranges[1:]):
+        assert h0 < l1  # merged: disjoint, non-adjacent
+    for lon, lat in points:
+        if x0 <= lon <= x1 and y0 <= lat <= y1:
+            z = L.morton_py(lon, lat, res)
+            assert any(lo <= z <= hi for lo, hi in ranges), (lon, lat)
