@@ -79,20 +79,31 @@ def cell_parent(cell: Column, parent_res: int, child_res: int) -> Column:
     )
 
 
-def cell_id_sql(lon: str, lat: str, res: int) -> str:
-    """The identical encoding as ANSI SQL text (DuckDB oracle)."""
+def grid_x_sql(lon: str, res: int) -> str:
+    """Clamped grid x index as ANSI SQL (the single source of the
+    clamp formula — bit-parity with :func:`cell_x` / :func:`grid_x_py`
+    depends on every mirror delegating here)."""
     n = 1 << res
-    x = (
+    return (
         f"GREATEST(0, LEAST({n - 1}, "
         f"CAST(FLOOR(({lon} + 180.0) / 360.0 * {float(n)}) AS BIGINT)))"
     )
-    y = (
+
+
+def grid_y_sql(lat: str, res: int) -> str:
+    n = 1 << res
+    return (
         f"GREATEST(0, LEAST({n - 1}, "
         f"CAST(FLOOR(({lat} + 90.0) / 180.0 * {float(n)}) AS BIGINT)))"
     )
+
+
+def cell_id_sql(lon: str, lat: str, res: int) -> str:
+    """The identical encoding as ANSI SQL text (DuckDB oracle)."""
     return (
         f"(CAST({res} AS BIGINT) * {1 << _RES_SHIFT} "
-        f"+ {x} * {1 << _X_SHIFT} + {y})"
+        f"+ {grid_x_sql(lon, res)} * {1 << _X_SHIFT} "
+        f"+ {grid_y_sql(lat, res)})"
     )
 
 
@@ -101,11 +112,21 @@ def cell_id_sql(lon: str, lat: str, res: int) -> str:
 # small metadata (polygon bboxes, hot-cell lists), never per data row.
 # --------------------------------------------------------------------------
 
-def encode_py(lon: float, lat: float, res: int) -> int:
+def grid_x_py(lon: float, res: int) -> int:
+    """Driver-side mirror of :func:`cell_x` / :func:`grid_x_sql`."""
     n = 1 << res
-    x = min(n - 1, max(0, int((lon + 180.0) / 360.0 * n)))
-    y = min(n - 1, max(0, int((lat + 90.0) / 180.0 * n)))
-    return (res << _RES_SHIFT) + (x << _X_SHIFT) + y
+    return min(n - 1, max(0, int((lon + 180.0) / 360.0 * n)))
+
+
+def grid_y_py(lat: float, res: int) -> int:
+    n = 1 << res
+    return min(n - 1, max(0, int((lat + 90.0) / 180.0 * n)))
+
+
+def encode_py(lon: float, lat: float, res: int) -> int:
+    return ((res << _RES_SHIFT)
+            + (grid_x_py(lon, res) << _X_SHIFT)
+            + grid_y_py(lat, res))
 
 
 def decode_py(cell: int) -> tuple:
@@ -126,11 +147,10 @@ def bbox_cover_py(
     lon_min: float, lat_min: float, lon_max: float, lat_max: float, res: int
 ) -> list:
     """All cells at ``res`` intersecting the bbox (polyfill building block)."""
-    n = 1 << res
-    x0 = min(n - 1, max(0, int((lon_min + 180.0) / 360.0 * n)))
-    x1 = min(n - 1, max(0, int((lon_max + 180.0) / 360.0 * n)))
-    y0 = min(n - 1, max(0, int((lat_min + 90.0) / 180.0 * n)))
-    y1 = min(n - 1, max(0, int((lat_max + 90.0) / 180.0 * n)))
+    x0 = grid_x_py(lon_min, res)
+    x1 = grid_x_py(lon_max, res)
+    y0 = grid_y_py(lat_min, res)
+    y1 = grid_y_py(lat_max, res)
     base = res << _RES_SHIFT
     return [
         base + (x << _X_SHIFT) + y

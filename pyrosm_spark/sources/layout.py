@@ -36,6 +36,9 @@ resolution.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,7 +49,17 @@ from pyrosm_spark.functions.tiles import (
     cell_y,
     compact_py,
     decode_py,
+    grid_x_py,
+    grid_x_sql,
+    grid_y_py,
+    grid_y_sql,
 )
+
+# sidecar describing a clustered table's layout, written next to
+# _SUCCESS — a scan at a different key resolution than the write would
+# silently drop rows (the pushed ranges and the persisted keys would
+# disagree), so the resolution is persisted and validated on read
+_LAYOUT_META = "_zorder_layout.json"
 
 # Classic part1by1 bit spread (even-bit positions), valid for inputs
 # < 2^32 — grid indices are < 2^29. All masks are positive int64.
@@ -89,26 +102,28 @@ def morton_key(lon: Column, lat: Column, res: int) -> Column:
     return F.shiftleft(zx, 1).bitwiseOR(zy)
 
 
+def morton_key_sql_from_xy(x_expr: str, y_expr: str) -> str:
+    """Interleave two already-computed grid-index SQL expressions.
+    Each spread step doubles the number of copies of its input text
+    (32 copies after 5 steps), so callers embedding a heavy index
+    expression should bind it to a short alias in a CTE first and pass
+    the alias here — see ``_zorder_scan_sql`` in the entry module."""
+    return f"((({_spread_sql(x_expr)}) << 1) | ({_spread_sql(y_expr)}))"
+
+
 def morton_key_sql(lon: str, lat: str, res: int) -> str:
-    """The identical key as ANSI SQL text (DuckDB mirror)."""
-    n = 1 << res
-    x = (
-        f"GREATEST(0, LEAST({n - 1}, "
-        f"CAST(FLOOR(({lon} + 180.0) / 360.0 * {float(n)}) AS BIGINT)))"
-    )
-    y = (
-        f"GREATEST(0, LEAST({n - 1}, "
-        f"CAST(FLOOR(({lat} + 90.0) / 180.0 * {float(n)}) AS BIGINT)))"
-    )
-    return f"((({_spread_sql(x)}) << 1) | ({_spread_sql(y)}))"
+    """The identical key as ANSI SQL text (DuckDB mirror). The clamp
+    formula is shared with ``tiles.cell_id_sql`` (``grid_*_sql``), so
+    the two encodings cannot drift apart."""
+    return morton_key_sql_from_xy(grid_x_sql(lon, res),
+                                  grid_y_sql(lat, res))
 
 
 def morton_py(lon: float, lat: float, res: int) -> int:
-    """Driver-side mirror of :func:`morton_key`."""
-    n = 1 << res
-    x = min(n - 1, max(0, int((lon + 180.0) / 360.0 * n)))
-    y = min(n - 1, max(0, int((lat + 90.0) / 180.0 * n)))
-    return (_spread_py(x) << 1) | _spread_py(y)
+    """Driver-side mirror of :func:`morton_key` (shares the clamp with
+    ``tiles.encode_py``)."""
+    return ((_spread_py(grid_x_py(lon, res)) << 1)
+            | _spread_py(grid_y_py(lat, res)))
 
 
 def cell_morton_range_py(cell: int, res: int) -> tuple:
@@ -149,11 +164,10 @@ def bbox_morton_ranges_py(bbox: tuple, res: int,
     lon_min, lat_min, lon_max, lat_max = bbox
     cover_res = res
     while cover_res > 0:
-        n = 1 << cover_res
-        x0 = min(n - 1, max(0, int((lon_min + 180.0) / 360.0 * n)))
-        x1 = min(n - 1, max(0, int((lon_max + 180.0) / 360.0 * n)))
-        y0 = min(n - 1, max(0, int((lat_min + 90.0) / 180.0 * n)))
-        y1 = min(n - 1, max(0, int((lat_max + 90.0) / 180.0 * n)))
+        x0 = grid_x_py(lon_min, cover_res)
+        x1 = grid_x_py(lon_max, cover_res)
+        y0 = grid_y_py(lat_min, cover_res)
+        y1 = grid_y_py(lat_max, cover_res)
         if (x1 - x0 + 1) * (y1 - y0 + 1) <= max_ranges:
             break
         cover_res -= 1
@@ -191,14 +205,26 @@ def write_spatial_clustered(
     (keyed.repartitionByRange(num_files, F.col(key_col))
           .sortWithinPartitions(key_col)
           .write.mode(mode).parquet(path))
+    meta = {"res": res, "key_col": key_col,
+            "lon_col": lon_col, "lat_col": lat_col}
+    with open(os.path.join(path, _LAYOUT_META), "w") as f:
+        json.dump(meta, f)
     return path
+
+
+def read_layout_meta(path: str) -> dict | None:
+    p = os.path.join(path, _LAYOUT_META)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def scan_spatial(
     spark: SparkSession,
     path: str,
     bbox: tuple | None = None,
-    res: int = 15,
+    res: int | None = None,
     key_col: str = "_zkey",
     exact: bool = True,
     lon_col: str = "lon",
@@ -211,16 +237,35 @@ def scan_spatial(
     pushed filters (int64 comparisons → row-group statistics skip);
     ``exact=True`` additionally applies the precise lon/lat window so
     results are independent of the cover's cell granularity.
+
+    ``res`` defaults to the resolution recorded by
+    :func:`write_spatial_clustered`'s sidecar; passing a value that
+    contradicts the sidecar raises (the pushed ranges would disagree
+    with the persisted keys and silently drop every row).
     """
+    meta = read_layout_meta(path)
+    if res is None:
+        if meta is None:
+            raise ValueError(
+                f"{path} carries no layout sidecar; pass res= "
+                f"explicitly (the resolution the table was written "
+                f"with)")
+        res = int(meta["res"])
+    elif meta is not None and int(meta["res"]) != res:
+        raise ValueError(
+            f"scan res {res} != clustered write res {meta['res']} "
+            f"for {path}: the pushed key ranges would not match the "
+            f"persisted keys")
     df = spark.read.parquet(path)
     if bbox is None:
         return df
     ranges = bbox_morton_ranges_py(bbox, res, max_ranges=max_ranges)
     key = F.col(key_col)
-    cond = None
+    # an empty/inverted bbox covers no cells: the scan is empty, same
+    # as the equivalent plain lon/lat filter
+    cond = F.lit(False)
     for lo, hi in ranges:
-        term = key.between(F.lit(lo), F.lit(hi))
-        cond = term if cond is None else cond | term
+        cond = cond | key.between(F.lit(lo), F.lit(hi))
     df = df.filter(cond)
     if exact:
         lon_min, lat_min, lon_max, lat_max = bbox
@@ -228,3 +273,31 @@ def scan_spatial(
             F.col(lon_col).between(lon_min, lon_max)
             & F.col(lat_col).between(lat_min, lat_max))
     return df
+
+
+def matching_row_groups(path: str, ranges, key_col: str = "_zkey"):
+    """(matched, total) row-group counts from the parquet footers:
+    a group counts as matched when its ``key_col`` min/max window
+    intersects any of the inclusive ``ranges`` — exactly the statistics
+    the pushed BETWEENs prune on — or when it carries no usable
+    min/max (the reader must touch it). Shared by the layout benchmark
+    and the pruning tests so the measurement logic cannot drift."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = matched = 0
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}[key_col]
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            total += 1
+            if (st is None or not st.has_min_max
+                    or st.min is None or st.max is None):
+                matched += 1
+                continue
+            if any(st.min <= hi and lo <= st.max for lo, hi in ranges):
+                matched += 1
+    return matched, total

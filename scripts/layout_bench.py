@@ -31,25 +31,6 @@ BBOX = (24.84, 60.18, 24.90, 60.21)
 RES = 15
 
 
-def rowgroups(path: str, key_col: str, ranges) -> tuple:
-    """(matched, total) row groups by footer min/max vs the key ranges."""
-    import pyarrow.parquet as pq
-
-    total = matched = 0
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
-        md = pq.ParquetFile(f).metadata
-        idx = md.schema.to_arrow_schema().names.index(key_col)
-        for g in range(md.num_row_groups):
-            st = md.row_group(g).column(idx).statistics
-            total += 1
-            if st is None:  # no stats: reader must touch it
-                matched += 1
-                continue
-            if any(st.min <= hi and st.max >= lo for lo, hi in ranges):
-                matched += 1
-    return matched, total
-
-
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, "data", "bench_sf0.1", "images_hl_f64.parquet")
@@ -61,6 +42,7 @@ def main() -> None:
     from pyrosm_spark import get_spark
     from pyrosm_spark.sources.layout import (
         bbox_morton_ranges_py,
+        matching_row_groups,
         scan_spatial,
         write_spatial_clustered,
     )
@@ -98,7 +80,7 @@ def main() -> None:
     assert n_plain == n_z, (n_plain, n_z)
 
     ranges = bbox_morton_ranges_py(BBOX, RES)
-    m, tot = rowgroups(clustered, "_zkey", ranges)
+    m, tot = matching_row_groups(clustered, ranges)
     total_rows = base.count()
     print(json.dumps({
         "metric": "zorder_bbox_scan",

@@ -1,11 +1,7 @@
 """Z-order spatial layout: key parity, range algebra, clustered-scan
 pruning (sources/layout.py)."""
 
-import glob
-import os
-
 import duckdb
-import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
@@ -14,9 +10,11 @@ from pyrosm_spark.sources.layout import (
     _merge_ranges,
     bbox_morton_ranges_py,
     cell_morton_range_py,
+    matching_row_groups,
     morton_key,
     morton_key_sql,
     morton_py,
+    read_layout_meta,
     scan_spatial,
     write_spatial_clustered,
 )
@@ -120,24 +118,47 @@ def test_clustering_prunes_row_groups(spark, tmp_path):
     keyed.repartition(16).write.parquet(unclustered)
 
     ranges = bbox_morton_ranges_py(BBOX, RES)
-
-    def matching_row_groups(root):
-        total = hit = 0
-        for f in glob.glob(os.path.join(root, "*.parquet")):
-            meta = pq.ParquetFile(f).metadata
-            idx = {meta.schema.column(i).name: i
-                   for i in range(meta.num_columns)}["_zkey"]
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(idx).statistics
-                total += 1
-                if any(st.min <= hi and lo <= st.max
-                       for lo, hi in ranges):
-                    hit += 1
-        return hit, total
-
-    c_hit, c_total = matching_row_groups(clustered)
-    u_hit, u_total = matching_row_groups(unclustered)
+    c_hit, c_total = matching_row_groups(clustered, ranges)
+    u_hit, u_total = matching_row_groups(unclustered, ranges)
     assert u_hit == u_total  # unclustered: no row group can be skipped
     assert c_total >= 8
     # clustered: the large majority of row groups is skippable
     assert c_hit * 3 <= c_total, (c_hit, c_total)
+
+
+def test_layout_sidecar_default_and_mismatch_guard(spark, tmp_path):
+    """The write records its resolution; a scan without res= uses it,
+    and a contradicting res= raises instead of silently dropping every
+    row (the pushed ranges would not match the persisted keys)."""
+    df = _points(spark, 5_000)
+    path = str(tmp_path / "clustered")
+    write_spatial_clustered(df, path, res=RES, num_files=4)
+    assert read_layout_meta(path)["res"] == RES
+    got = scan_spatial(spark, path, bbox=BBOX).count()  # sidecar res
+    want = df.filter(
+        F.col("lon").between(BBOX[0], BBOX[2])
+        & F.col("lat").between(BBOX[1], BBOX[3])).count()
+    assert got == want and want > 0
+    with pytest.raises(ValueError, match="write res"):
+        scan_spatial(spark, path, bbox=BBOX, res=RES + 2)
+    # explicit-but-equal res passes (back-compat callers)
+    assert scan_spatial(spark, path, bbox=BBOX, res=RES).count() == want
+
+
+def test_scan_without_sidecar_requires_res(spark, tmp_path):
+    df = _points(spark, 1_000).withColumn(
+        "_zkey", morton_key(F.col("lon"), F.col("lat"), RES))
+    path = str(tmp_path / "bare")
+    df.write.parquet(path)
+    with pytest.raises(ValueError, match="sidecar"):
+        scan_spatial(spark, path, bbox=BBOX)
+    assert scan_spatial(spark, path, bbox=BBOX, res=RES).count() > 0
+
+
+def test_empty_and_inverted_bbox_scan_is_empty(spark, tmp_path):
+    """An inverted bbox matches the plain-filter semantics (empty),
+    not a crash."""
+    df = _points(spark, 2_000)
+    path = str(tmp_path / "clustered")
+    write_spatial_clustered(df, path, res=RES, num_files=2)
+    assert scan_spatial(spark, path, bbox=(10.0, 10.0, 5.0, 5.0)).count() == 0
