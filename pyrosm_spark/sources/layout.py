@@ -301,3 +301,95 @@ def matching_row_groups(path: str, ranges, key_col: str = "_zkey"):
             if any(st.min <= hi and lo <= st.max for lo, hi in ranges):
                 matched += 1
     return matched, total
+
+
+# --------------------------------------------------------------------------
+# Training-shard assignment: fixed-size, spatially-clustered shards
+# --------------------------------------------------------------------------
+
+def assign_shards(
+    df: DataFrame,
+    rows_per_shard: int,
+    order_col: str = "_zkey",
+    id_col: str = "image_id",
+    n_buckets: int = 4096,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic fixed-size shard ids over the total order
+    (``order_col``, ``id_col``): row i of the ordering lands in shard
+    ``i // rows_per_shard``. With a Morton ``order_col`` this is the
+    training-data export layout a 10^12-image pipeline wants — every
+    shard holds spatially-adjacent rows (co-located tiles decode
+    together) and all shards except the last hold exactly
+    ``rows_per_shard`` rows.
+
+    Scale shape — a global ``row_number`` window would sort the corpus
+    through ONE task; instead the order key's high bits split the data
+    into ``<= n_buckets`` key-disjoint buckets (bucket order == key
+    order by construction), so the global index decomposes into a
+    per-bucket ``row_number`` (parallel windows, one per bucket) plus
+    a per-bucket offset cumsum computed from the bucket histogram —
+    metadata-sized (``n_buckets`` rows) on the driver, broadcast back.
+    Two passes over the data, no single-task stage. Bucket skew is
+    bounded by the key granularity: raise ``n_buckets`` to shrink the
+    largest window partition.
+    """
+    if rows_per_shard <= 0:
+        raise ValueError(f"rows_per_shard must be > 0, got {rows_per_shard}")
+    from pyspark.sql import Window
+
+    key = F.col(order_col)
+    # bucket by the key's high bits: ceil-log2 of (max key + 1) keeps
+    # the bucket count <= n_buckets while bucket id stays monotonic in
+    # the key (equal keys share a bucket, so the id tiebreak never
+    # crosses buckets). One 1-row agg.
+    mx = df.agg(F.max(key).alias("m")).first()["m"]
+    if mx is None:
+        return df.withColumn(shard_col, F.lit(None).cast("long"))
+    shift = max(0, int(mx).bit_length() - max(1, n_buckets).bit_length() + 1)
+    bucket = F.shiftrightunsigned(key.cast("long"), shift)
+    hist = df.select(bucket.alias("b")).groupBy("b").count().collect()
+    offsets, acc = [], 0
+    for r in sorted(hist, key=lambda r: r["b"]):
+        offsets.append((int(r["b"]), acc))
+        acc += r["count"]
+    spark = df.sparkSession
+    off = F.broadcast(spark.createDataFrame(offsets, "b long, off long"))
+    w = Window.partitionBy("b").orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("b", bucket)
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .join(off, "b")
+        .withColumn(shard_col, ((F.col("off") + F.col("_rn"))
+                                / rows_per_shard).cast("long"))
+        .drop("b", "_rn", "off")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "image_id",
+    res: int = 15,
+    mode: str = "overwrite",
+) -> str:
+    """Materialize fixed-size spatially-clustered training shards:
+    Morton-key the rows, assign shard ids (:func:`assign_shards`), and
+    write parquet partitioned by shard — each ``shard=N/`` directory is
+    one self-contained, spatially-coherent unit a dataloader can claim.
+    """
+    keyed = df.withColumn("_zkey", morton_key(
+        F.col(lon_col), F.col(lat_col), res))
+    sharded = assign_shards(keyed, rows_per_shard, "_zkey", id_col)
+    (sharded.repartition("shard")
+            .sortWithinPartitions("shard", "_zkey", id_col)
+            .write.mode(mode).partitionBy("shard").parquet(path))
+    meta = {"res": res, "key_col": "_zkey", "lon_col": lon_col,
+            "lat_col": lat_col, "rows_per_shard": rows_per_shard,
+            "id_col": id_col}
+    with open(os.path.join(path, _LAYOUT_META), "w") as f:
+        json.dump(meta, f)
+    return path

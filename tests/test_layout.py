@@ -162,3 +162,70 @@ def test_empty_and_inverted_bbox_scan_is_empty(spark, tmp_path):
     path = str(tmp_path / "clustered")
     write_spatial_clustered(df, path, res=RES, num_files=2)
     assert scan_spatial(spark, path, bbox=(10.0, 10.0, 5.0, 5.0)).count() == 0
+
+
+def test_assign_shards_matches_global_order(spark):
+    """Bucketed two-pass shard assignment == the single-window global
+    row_number formulation, with every shard full except the last."""
+    from pyrosm_spark.sources.layout import assign_shards
+
+    df = _points(spark, 7_001).withColumn(
+        "_zkey", morton_key(F.col("lon"), F.col("lat"), RES))
+    got = {r.id: r.shard for r in assign_shards(
+        df, 256, "_zkey", "id", n_buckets=32).collect()}
+    order = sorted(((r["_zkey"], r.id) for r in df.collect()))
+    want = {i: n // 256 for n, (_, i) in enumerate(order)}
+    assert got == want
+    sizes = {}
+    for s in got.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    last = max(sizes)
+    assert set(sizes) == set(range(last + 1))
+    assert all(sizes[s] == 256 for s in range(last))
+    assert sizes[last] == 7_001 - 256 * last
+    # the bucket split actually decomposed the window (not one task)
+    mx = max(r["_zkey"] for r in df.collect())
+    shift = max(0, int(mx).bit_length() - 32 .bit_length() + 1)
+    assert len({int(k) >> shift for k, _ in order}) > 1
+
+
+def test_assign_shards_invariant_to_bucket_count(spark):
+    from pyrosm_spark.sources.layout import assign_shards
+
+    df = _points(spark, 3_000).withColumn(
+        "_zkey", morton_key(F.col("lon"), F.col("lat"), RES))
+    a = {r.id: r.shard for r in assign_shards(
+        df, 100, "_zkey", "id", n_buckets=2).collect()}
+    b = {r.id: r.shard for r in assign_shards(
+        df, 100, "_zkey", "id", n_buckets=1024).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        assign_shards(df, 0, "_zkey", "id")
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """Shards materialize as shard=N/ partitions, roundtrip losslessly,
+    and are spatially coherent: consecutive shards' key windows only
+    meet at the boundary key."""
+    import os
+
+    from pyrosm_spark.sources.layout import (
+        read_layout_meta,
+        write_training_shards,
+    )
+
+    df = _points(spark, 4_000).withColumnRenamed("id", "image_id")
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, 512, id_col="image_id", res=RES)
+    assert read_layout_meta(path)["rows_per_shard"] == 512
+    assert os.path.isdir(os.path.join(path, "shard=0"))
+    back = spark.read.parquet(path)
+    assert back.count() == 4_000
+    assert back.select("image_id").distinct().count() == 4_000
+    wins = sorted(
+        (r.shard, r.lo, r.hi)
+        for r in back.groupBy("shard").agg(
+            F.min("_zkey").alias("lo"), F.max("_zkey").alias("hi"))
+        .collect())
+    for (_, _, hi0), (_, lo1, _) in zip(wins, wins[1:]):
+        assert hi0 <= lo1
