@@ -314,6 +314,7 @@ def assign_shards(
     id_col: str = "image_id",
     n_buckets: int = 4096,
     shard_col: str = "shard",
+    keep_bucket: bool = False,
 ) -> DataFrame:
     """Deterministic fixed-size shard ids over the total order
     (``order_col``, ``id_col``): row i of the ordering lands in shard
@@ -330,24 +331,31 @@ def assign_shards(
     per-bucket ``row_number`` (parallel windows, one per bucket) plus
     a per-bucket offset cumsum computed from the bucket histogram —
     metadata-sized (``n_buckets`` rows) on the driver, broadcast back.
-    Two passes over the data, no single-task stage. Bucket skew is
-    bounded by the key granularity: raise ``n_buckets`` to shrink the
-    largest window partition.
+    Two passes over the data (histogram + window) after a 2-value
+    min/max agg, no single-task stage. Buckets split the OCCUPIED key
+    span ``(key - min) >> shift`` — a regional corpus concentrates all
+    keys under a shared high-bit prefix, so bucketing raw high bits
+    would collapse every row into one bucket (one window task, the
+    exact single-task sort this function exists to avoid). Bucket skew
+    is bounded by the key granularity: raise ``n_buckets`` to shrink
+    the largest window partition (rows sharing ONE key value are the
+    irreducible floor — with a Morton key, one res-r cell).
     """
     if rows_per_shard <= 0:
         raise ValueError(f"rows_per_shard must be > 0, got {rows_per_shard}")
     from pyspark.sql import Window
 
     key = F.col(order_col)
-    # bucket by the key's high bits: ceil-log2 of (max key + 1) keeps
-    # the bucket count <= n_buckets while bucket id stays monotonic in
-    # the key (equal keys share a bucket, so the id tiebreak never
-    # crosses buckets). One 1-row agg.
-    mx = df.agg(F.max(key).alias("m")).first()["m"]
-    if mx is None:
+    bounds = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    if bounds["lo"] is None:
         return df.withColumn(shard_col, F.lit(None).cast("long"))
-    shift = max(0, int(mx).bit_length() - max(1, n_buckets).bit_length() + 1)
-    bucket = F.shiftrightunsigned(key.cast("long"), shift)
+    lo = int(bounds["lo"])
+    span = int(bounds["hi"]) - lo + 1
+    # ceil-log2 split of the span keeps buckets <= n_buckets while the
+    # bucket id stays monotonic in the key (equal keys share a bucket,
+    # so the id tiebreak never crosses buckets)
+    shift = max(0, span.bit_length() - max(1, n_buckets).bit_length() + 1)
+    bucket = F.shiftright(key.cast("long") - F.lit(lo), shift)
     hist = df.select(bucket.alias("b")).groupBy("b").count().collect()
     offsets, acc = [], 0
     for r in sorted(hist, key=lambda r: r["b"]):
@@ -356,14 +364,18 @@ def assign_shards(
     spark = df.sparkSession
     off = F.broadcast(spark.createDataFrame(offsets, "b long, off long"))
     w = Window.partitionBy("b").orderBy(key.asc(), F.col(id_col).asc())
-    return (
+    out = (
         df.withColumn("b", bucket)
         .withColumn("_rn", F.row_number().over(w) - 1)
         .join(off, "b")
         .withColumn(shard_col, ((F.col("off") + F.col("_rn"))
                                 / rows_per_shard).cast("long"))
-        .drop("b", "_rn", "off")
     )
+    if keep_bucket:
+        # diagnosis surface: lets tests assert the window actually
+        # decomposed (a regional corpus must not collapse to 1 bucket)
+        return out.withColumnRenamed("b", "_bucket").drop("_rn", "off")
+    return out.drop("b", "_rn", "off")
 
 
 def write_training_shards(

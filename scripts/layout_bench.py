@@ -41,8 +41,10 @@ def main() -> None:
 
     from pyrosm_spark import get_spark
     from pyrosm_spark.sources.layout import (
+        assign_shards,
         bbox_morton_ranges_py,
         matching_row_groups,
+        morton_key,
         scan_spatial,
         write_spatial_clustered,
     )
@@ -82,6 +84,28 @@ def main() -> None:
     ranges = bbox_morton_ranges_py(BBOX, RES)
     m, tot = matching_row_groups(clustered, ranges)
     total_rows = base.count()
+
+    # training-shard assignment: the bucketed two-pass design vs the
+    # naive single global window (ONE task sorts the corpus — the
+    # formulation assign_shards exists to avoid). Shard ids are equal
+    # by test; this measures only the plan shape's cost.
+    keyed = (base.select("image_id", "lon", "lat")
+             .withColumn("_zkey", morton_key(
+                 F.col("lon"), F.col("lat"), RES)))
+    t_shard, n_shard = run(lambda: assign_shards(
+        keyed, 100_000, "_zkey", "image_id", n_buckets=4096)
+        .groupBy("shard").count().count())
+
+    def global_window():
+        from pyspark.sql import Window
+        w = Window.orderBy(F.col("_zkey").asc(), F.col("image_id").asc())
+        return (keyed
+                .withColumn("shard", ((F.row_number().over(w) - 1)
+                                      / 100_000).cast("long"))
+                .groupBy("shard").count().count())
+
+    t_naive, n_naive = run(global_window)
+    assert n_shard == n_naive, (n_shard, n_naive)
     print(json.dumps({
         "metric": "zorder_bbox_scan",
         "src": os.path.basename(src),
@@ -97,6 +121,10 @@ def main() -> None:
         "rowgroups_matched": m,
         "rowgroups_total": tot,
         "rowgroups_fraction": round(m / max(tot, 1), 4),
+        "n_shards": n_shard,
+        "t_shards_bucketed_sec": t_shard,
+        "t_shards_global_window_sec": t_naive,
+        "shards_speedup": round(t_naive / max(t_shard, 1e-9), 2),
     }))
 
 

@@ -229,3 +229,27 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
         .collect())
     for (_, _, hi0), (_, lo1, _) in zip(wins, wins[1:]):
         assert hi0 <= lo1
+
+
+def test_assign_shards_decomposes_regional_corpus(spark):
+    """A corpus confined to a small region shares the Morton key's
+    high bits; bucketing must split the OCCUPIED span (not raw high
+    bits) or the whole corpus lands in one window task — the exact
+    single-task sort assign_shards exists to avoid (regression: the
+    first implementation collapsed to 1 bucket on the bench table)."""
+    from pyrosm_spark.sources.layout import assign_shards
+
+    # ~0.6 x 0.3 degree window (the synth image extent shape)
+    df = spark.range(20_000).select(
+        F.col("id"),
+        (24.6 + (F.col("id") * 2654435761 % 600) / 1000.0).alias("lon"),
+        (60.1 + (F.col("id") * 40503 % 300) / 1000.0).alias("lat"),
+    ).withColumn("_zkey", morton_key(F.col("lon"), F.col("lat"), 15))
+    out = assign_shards(df, 1_000, "_zkey", "id", n_buckets=256,
+                        keep_bucket=True)
+    n_buckets_used = out.select("_bucket").distinct().count()
+    assert n_buckets_used > 16, n_buckets_used
+    # and the assignment still equals the global-order formulation
+    got = {r.id: r.shard for r in out.collect()}
+    order = sorted((r["_zkey"], r.id) for r in df.collect())
+    assert got == {i: n // 1_000 for n, (_, i) in enumerate(order)}
