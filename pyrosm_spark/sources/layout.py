@@ -405,3 +405,44 @@ def write_training_shards(
     with open(os.path.join(path, _LAYOUT_META), "w") as f:
         json.dump(meta, f)
     return path
+
+
+def cluster_osm_dataset(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    res: int = 15,
+    num_files: int | None = None,
+) -> dict:
+    """Rewrite an OSM element dataset with Z-order-clustered node
+    tables — the lakehouse OPTIMIZE step for this engine's worlds.
+
+    Every ``*.parquet`` table under ``src_dir`` that carries lon/lat
+    columns (nodes, history nodes) is rewritten via
+    :func:`write_spatial_clustered`; the others (ways, relations —
+    no coordinates) pass through unchanged. Source columns are
+    preserved (the clustered tables additionally carry the ``_zkey``
+    sort column, which engine loads prune away), so
+    ``load_osm(spark, out_dir)`` serves the identical
+    element model — but now every bbox query's pushed lon/lat
+    predicates land on tables whose row groups carry TIGHT coordinate
+    min/max windows (clustering on the interleaved key bounds both
+    axes at once), so the scan skips the row groups that cannot match
+    without any query-side change. Returns {table: "clustered"|"copied"}.
+    """
+    import glob as _glob
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = {}
+    for p in sorted(_glob.glob(os.path.join(src_dir, "*.parquet"))):
+        name = os.path.splitext(os.path.basename(p))[0]
+        df = spark.read.parquet(p)
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if "lon" in df.columns and "lat" in df.columns:
+            write_spatial_clustered(df, dst, res=res,
+                                    num_files=num_files)
+            done[name] = "clustered"
+        else:
+            df.write.mode("overwrite").parquet(dst)
+            done[name] = "copied"
+    return done

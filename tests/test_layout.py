@@ -253,3 +253,45 @@ def test_assign_shards_decomposes_regional_corpus(spark):
     got = {r.id: r.shard for r in out.collect()}
     order = sorted((r["_zkey"], r.id) for r in df.collect())
     assert got == {i: n // 1_000 for n, (_, i) in enumerate(order)}
+
+
+def test_cluster_osm_dataset_equal_results_and_pruning(spark, tmp_path):
+    """OPTIMIZE for OSM worlds: the clustered dataset serves the exact
+    same bbox network as the raw one through the unchanged engine path
+    (pushed lon/lat predicates), and the rewritten node table's row
+    groups carry tight coordinate windows so most of them are
+    skippable for a small bbox."""
+    import os
+
+    from pyrosm_spark.api import OSM
+    from pyrosm_spark.sources.layout import cluster_osm_dataset
+    from pyrosm_spark.synth.osm import TEST_BBOX
+
+    src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "synth")
+    out = str(tmp_path / "optimized")
+    done = cluster_osm_dataset(spark, src, out, res=15, num_files=8)
+    assert done["osm_nodes"] == "clustered"
+    assert done["osm_ways"] == "copied"
+
+    raw = OSM(spark, src, bounding_box=list(TEST_BBOX))
+    opt = OSM(spark, out, bounding_box=list(TEST_BBOX))
+    a = sorted(map(tuple, raw.get_network("driving")
+                   .select("id", "length", "geometry").collect()))
+    b = sorted(map(tuple, opt.get_network("driving")
+                   .select("id", "length", "geometry").collect()))
+    assert a == b and a
+
+    # pruning evidence on the coordinate stats themselves: a SMALL
+    # bbox (~1% of the world — TEST_BBOX is deliberately large) leaves
+    # most row groups skippable on lon or lat alone (each axis check
+    # is an upper bound on what the reader must touch: it reads a
+    # group only when BOTH windows intersect)
+    m_lon, tot = matching_row_groups(
+        os.path.join(out, "osm_nodes.parquet"), [(24.70, 24.76)],
+        key_col="lon")
+    m_lat, _ = matching_row_groups(
+        os.path.join(out, "osm_nodes.parquet"), [(60.15, 60.18)],
+        key_col="lat")
+    assert tot >= 8
+    assert min(m_lon, m_lat) * 2 <= tot, (m_lon, m_lat, tot)
