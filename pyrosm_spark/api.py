@@ -13,10 +13,13 @@ Differences, all deliberate:
   upstream step at 100 TB. A `.osm.pbf` file path also works (the
   reference's constructor input), decoded distributed by the
   from-scratch codec in `sources.pbf`;
-- methods return lazy DataFrames: nothing is parsed or materialized
-  until an action runs, so chaining a bbox + filter compiles into ONE
-  Catalyst plan with pushdown (the reference re-parses the PBF per
-  call and caches, `pyrosm.py:255-271`);
+- methods return lazy DataFrames: the HEAVY work (decode, joins,
+  geometry) runs only when an action does, so chaining a bbox + filter
+  compiles into ONE Catalyst plan with pushdown (the reference
+  re-parses the PBF per call and caches, `pyrosm.py:255-271`). Two
+  small jobs do execute at call time: the occurring-tag-keys scan that
+  decides presentation columns (the result schema is data-driven, so
+  it cannot be deferred) and the relation join-strategy size probes;
 - `engine=`/`workers=` knobs don't exist — parallelism belongs to the
   SparkSession.
 """
@@ -250,8 +253,6 @@ class OSM:
             validate_osm_keys,
             validate_tags_as_columns,
         )
-        from pyrosm_spark.operators.default_tags import TAG_COLUMNS
-
         custom_filter = validate_custom_filter(custom_filter)
         validate_osm_keys(osm_keys_to_keep)
         if isinstance(osm_keys_to_keep, str):
@@ -265,15 +266,30 @@ class OSM:
 
         keep_all = custom_filter is None
         if tags_as_columns is None:
+            # Derived from THIS instance's conf.tags (pyrosm.py:1148-1167
+            # uses getattr(self.conf.tags, k)) so user conf mutations
+            # drive this method exactly like the sibling layer methods.
             cols: list = []
             if keep_all:
-                for lst in TAG_COLUMNS.values():
-                    cols += lst
+                for k in self.conf.tags.available:
+                    cols += getattr(self.conf.tags, k)
             elif isinstance(custom_filter, dict):
                 for k in custom_filter:
-                    cols += TAG_COLUMNS.get(k, [])
+                    cols += getattr(self.conf.tags, k, [])
                 if not cols:
                     cols = list(custom_filter.keys())
+            else:
+                # advanced (bracket) filter: the compiled filter's keys
+                # supply the fallback the docstring promises
+                from pyrosm_spark.functions.filters import (
+                    compile_custom_filter,
+                )
+
+                keys = compile_custom_filter(custom_filter).keys()
+                for k in keys:
+                    cols += getattr(self.conf.tags, k, [])
+                if not cols:
+                    cols = list(keys)
             tags_as_columns = list(dict.fromkeys(cols))
         else:
             validate_tags_as_columns(tags_as_columns)

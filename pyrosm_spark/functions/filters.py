@@ -362,6 +362,15 @@ def dict_match_column(tags: Column, data_filter: dict) -> Column:
     """Match expr for a plain dict filter — Solver.isin_check semantics
     (data_filter.pyx:27-31): key present AND (True in list OR value in list),
     OR across keys.
+
+    Mixed lists like ``['yes', True]``: the reference's two element
+    paths disagree — ways (filter_osm_records, data_filter.pyx:171)
+    treat True anywhere as "any value", nodes/relations
+    (record_should_be_kept, data_filter.pyx:279-285) only honor the
+    exact ``[True]`` — while its validator explicitly admits the mixed
+    form (utils/__init__.py:48-50). This engine applies the ways-path
+    semantics uniformly to every element kind: True anywhere in the
+    list means any value for that key.
     """
     expr = _false()
     for key, vals in data_filter.items():

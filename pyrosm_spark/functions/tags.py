@@ -135,3 +135,18 @@ def present_layer(
         out = out.withColumn(
             "tags_leftover", leftover_canonical(F.col(tags_col), keys))
     return out
+
+
+def present_tags(df: DataFrame, tag_cols, tag_source=None) -> DataFrame:
+    """Materialize OCCURRING candidate tag keys as presentation columns,
+    raw OSM key names preserved (``addr:city`` etc. verbatim — Spark
+    column names take colons fine). Candidates that never occur are
+    skipped, matching the reference's data-driven column sets; the map
+    column stays authoritative. ``tag_source`` (optional) is a cheap
+    pre-geometry frame whose ``tags`` column decides key occurrence —
+    scanning it avoids executing geometry UDF stages just to count
+    keys."""
+    for k in occurring_keys(
+            df if tag_source is None else tag_source, list(tag_cols)):
+        df = df.withColumn(k, F.col("tags")[k])
+    return df

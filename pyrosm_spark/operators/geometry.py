@@ -173,12 +173,6 @@ def spread_for_udf(df: DataFrame) -> DataFrame:
     return df.repartition(n)
 
 
-def _pts_to_np(pts_row) -> np.ndarray:
-    if pts_row is None or len(pts_row) == 0:
-        return np.empty((0, 2), dtype=np.float64)
-    return np.array([[p["lon"], p["lat"]] for p in pts_row], dtype=np.float64)
-
-
 @F.pandas_udf(T.BinaryType())
 def _way_wkb_from_arrays(lons: pd.Series, lats: pd.Series,
                          is_polygon: pd.Series) -> pd.Series:

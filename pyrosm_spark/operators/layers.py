@@ -32,25 +32,11 @@ from pyrosm_spark.operators.relations import (
 )
 
 
-def _present_tags(df: DataFrame, tag_cols, tag_source=None) -> DataFrame:
-    """Materialize OCCURRING candidate tag keys as columns, raw OSM key
-    names preserved (the reference's GeoDataFrames carry ``addr:city``
-    etc. verbatim; Spark column names take colons fine). Candidates
-    that never occur are skipped — matching the reference's data-driven
-    column sets (its buildings golden test expects ~20 columns from a
-    37-key candidate list; it too decides columns from the parsed tag
-    arrays BEFORE geometry creation) and keeping the plan narrow when
-    the full default_tags lists are in play.
-
-    ``tag_source`` (optional) is a cheap pre-geometry frame whose
-    ``tags`` column decides key occurrence — scanning it avoids
-    executing the geometry UDF stages just to count keys."""
-    from pyrosm_spark.functions.tags import occurring_keys
-
-    for k in occurring_keys(
-            df if tag_source is None else tag_source, list(tag_cols)):
-        df = df.withColumn(k, F.col("tags")[k])
-    return df
+# shared presentation-column materializer (functions/tags.py) — the
+# reference's buildings golden test expects ~20 columns from a 37-key
+# candidate list; it too decides columns from the parsed tag arrays
+# BEFORE geometry creation.
+from pyrosm_spark.functions.tags import present_tags as _present_tags
 
 
 def get_layer(
@@ -93,17 +79,36 @@ def get_layer(
 
     # --- relations (multipolygons etc.) --------------------------------
     member_ids = None
+    in_box_way_ids = None
     if include_relations:
         kept_rels = relations.filter(pred)
+        if bbox is not None:
+            # In-box way ids computed ONCE over the full way table and
+            # reused for the relation restriction here and the
+            # standalone-way cut below (one explode cascade, not two).
+            in_box_way_ids = ways_in_bbox(ways, nodes, bbox).select("id")
+            # collect.py:606-614: with a bbox, a relation survives only
+            # with >=1 member way in the box — REGARDLESS of
+            # complete_relations (which only lifts the member-level
+            # partial-geometry restriction). Restricting before the tag
+            # scan also keeps out-of-box relations' tags from creating
+            # spurious all-None presentation columns.
+            present_rels = (
+                relation_member_ways(kept_rels)
+                .join(in_box_way_ids.withColumnRenamed("id", "way_id"),
+                      "way_id", "left_semi")
+                .select(F.col("rel_id").alias("id")).distinct()
+            )
+            kept_rels = kept_rels.join(present_rels, "id", "left_semi")
         tag_sources.append(kept_rels.select("tags"))
         member_ids = relation_member_ways(kept_rels).select(
             F.col("way_id").alias("id")
         ).distinct()
         # J6: unless complete_relations, member ways outside the bbox are
-        # excluded from assembly (collect.py:606-623).
+        # excluded from assembly (collect.py:616-623, partial geometry).
         restriction = None
         if bbox is not None and not complete_relations:
-            restriction = ways_in_bbox(ways, nodes, bbox).select("id")
+            restriction = in_box_way_ids
         rel_feats = assemble_relations(
             kept_rels, ways, nodes, member_way_restriction=restriction
         )
@@ -111,7 +116,10 @@ def get_layer(
 
     # --- standalone ways -------------------------------------------------
     if bbox is not None:
-        kept_ways = ways_in_bbox(kept_ways, nodes, bbox)
+        if in_box_way_ids is not None:
+            kept_ways = kept_ways.join(in_box_way_ids, "id", "left_semi")
+        else:
+            kept_ways = ways_in_bbox(kept_ways, nodes, bbox)
     if member_ids is not None:
         # J4: ways consumed by a kept relation leave the standalone output
         kept_ways = kept_ways.join(member_ids, "id", "left_anti")
@@ -216,7 +224,9 @@ def get_boundaries(nodes, ways, relations, boundary_type: str = "administrative"
                    name: str | None = None, custom_filter=None, bbox=None,
                    tag_cols=None, **kw) -> DataFrame:
     """boundary.py:20-85: default {'boundary': [type]} (or True for
-    'all'), keep, no node features, then substring name filter (F10)."""
+    'all'), keep, no node features, then regex name filter (F10 —
+    boundary.py:79 is pandas ``str.contains`` with its regex=True
+    default, so 'Uusimaa|Helsinki' alternation must work)."""
     if custom_filter is None:
         custom_filter = {
             "boundary": True if boundary_type == "all" else [boundary_type]
@@ -229,6 +239,6 @@ def get_boundaries(nodes, ways, relations, boundary_type: str = "administrative"
     if name is not None:
         out = out.filter(
             F.col("tags")["name"].isNotNull()
-            & F.col("tags")["name"].contains(name)
+            & F.col("tags")["name"].rlike(name)
         )
     return out

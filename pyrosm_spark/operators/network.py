@@ -73,18 +73,8 @@ def filter_network_ways(
     return ways.filter(pred)
 
 
-def _present_tags(df: DataFrame, tag_cols, tag_source=None) -> DataFrame:
-    """Materialize OCCURRING tags[k] presentation columns under raw OSM
-    key names (SURVEY.md §1.3; same data-driven column semantics as
-    layers — the full 37-key highway candidate list would otherwise
-    widen every edge frame with mostly-absent columns). The map column
-    stays authoritative; these are read-side conveniences."""
-    from pyrosm_spark.functions.tags import occurring_keys
-
-    for k in occurring_keys(
-            df if tag_source is None else tag_source, list(tag_cols)):
-        df = df.withColumn(k, F.col("tags")[k])
-    return df
+# shared presentation-column materializer (functions/tags.py)
+from pyrosm_spark.functions.tags import present_tags as _present_tags
 
 
 def _segment_intersects_box(seg, bbox) -> F.Column:
@@ -263,7 +253,9 @@ def directed_edges(
     if force_bidirectional:
         return forward(edges).unionByName(flipped(edges))
 
-    suffix = DIRECTION_SUFFIX.get(network_type)
+    # network_type validation upstream is case-insensitive, so the
+    # suffix lookup must be too — 'Cycling' keeps contraflow handling
+    suffix = DIRECTION_SUFFIX.get(str(network_type).lower().strip())
     base_dir = F.col("tags")["oneway"]
     eff = (
         F.coalesce(F.col("tags")[f"oneway:{suffix}"], base_dir)

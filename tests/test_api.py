@@ -278,3 +278,29 @@ def test_conf_is_per_instance_and_drives_execution(spark, synth_dir):
     cols_b = b.get_network("driving").columns
     assert "maxspeed" not in cols_a
     assert "maxspeed" in cols_b
+
+
+def test_conf_drives_custom_criteria_columns(spark, synth_dir):
+    """get_data_by_custom_criteria derives its default presentation
+    columns from THIS instance's conf.tags (pyrosm.py:1148-1167), so a
+    conf mutation affects it exactly like the sibling layer methods."""
+    a = OSM(spark, synth_dir)
+    b = OSM(spark, synth_dir)
+    a.conf.tags.highway.remove("maxspeed")
+    cols_a = a.get_data_by_custom_criteria(
+        {"highway": True}, keep_nodes=False, keep_relations=False).columns
+    cols_b = b.get_data_by_custom_criteria(
+        {"highway": True}, keep_nodes=False, keep_relations=False).columns
+    assert "maxspeed" not in cols_a
+    assert "maxspeed" in cols_b
+
+
+def test_custom_criteria_bracket_filter_fallback_columns(osm):
+    """An advanced (bracket-string) custom_filter derives presentation
+    columns from the compiled filter's keys: conf.tags lists where the
+    key is a known layer, the key itself otherwise."""
+    out = osm.get_data_by_custom_criteria(
+        '["oneway"]', keep_nodes=False, keep_relations=False)
+    # 'oneway' is not a conf.tags layer -> the key itself is the column
+    assert "oneway" in out.columns
+    assert out.count() > 0

@@ -134,6 +134,18 @@ def test_directed_edges_oneway_semantics(spark, osm):
     assert got == exp
 
 
+def test_directed_edges_network_type_case_insensitive(spark, osm):
+    """'Cycling' must keep the oneway:bicycle contraflow override —
+    the suffix lookup is case-insensitive like the upstream
+    network_type validation."""
+    nodes, ways, _ = osm
+    _, edges = get_network(nodes, ways, "cycling", with_nodes=True)
+    lower = directed_edges(edges, "cycling").select("id", "u", "v")
+    mixed = directed_edges(edges, "Cycling").select("id", "u", "v")
+    assert {tuple(r) for r in lower.collect()} \
+        == {tuple(r) for r in mixed.collect()}
+
+
 def test_buildings_layer(spark, osm, synth_dir):
     nodes, ways, rels = osm
     b = get_buildings(nodes, ways, rels)
@@ -333,6 +345,11 @@ def test_boundaries_types_name_search_and_validation(spark, osm):
         == {"Testilä"}
     none = get_boundaries(nodes, ways, rels, name="Nowhere")
     assert none.count() == 0
+    # regex name search: boundary.py:79 is pandas str.contains with
+    # regex=True, so alternation must match
+    alt = get_boundaries(nodes, ways, rels, name="Nowhere|Testilä")
+    assert {r[0] for r in alt.select(F.col("tags")["name"]).collect()} \
+        == {"Testilä"}
 
     # facade validation: unknown boundary_type rejected, case
     # normalization accepted

@@ -151,3 +151,85 @@ def test_complete_relations_restores_exact_wkb(spark, osm):
     # at least one relation is cut or dropped without completion
     assert any(rid not in partial_rel or partial_rel[rid] != whole_rel[rid]
                for rid in common)
+
+
+def test_bbox_drops_relations_without_inbox_member_ways(spark):
+    """collect.py:606-614: with a bounding box, a relation survives only
+    with >=1 member way holding an in-box node — REGARDLESS of
+    complete_relations, which lifts only the member-level
+    partial-geometry restriction. An out-of-box relation's tags must
+    not leak presentation columns into the result either."""
+    from pyspark.sql import types as T
+
+    nodes = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 2.0, 1.0), (3, 2.0, 2.0), (4, 1.0, 2.0),
+         (5, 20.0, 20.0), (6, 21.0, 20.0), (7, 21.0, 21.0),
+         (8, 20.0, 21.0)],
+        "id long, lon double, lat double",
+    ).withColumn("tags", F.create_map().cast("map<string,string>"))
+    ways = spark.createDataFrame(
+        [(10, [1, 2, 3, 4, 1]), (20, [5, 6, 7, 8, 5])],
+        "id long, refs array<long>",
+    ).withColumn("tags", F.create_map().cast("map<string,string>"))
+    mem_t = T.ArrayType(T.StructType([
+        T.StructField("member_type", T.StringType()),
+        T.StructField("member_id", T.LongType()),
+        T.StructField("member_role", T.StringType()),
+    ]))
+    rels = spark.createDataFrame(
+        [(100, [("way", 10, "outer")],
+          {"type": "multipolygon", "building": "yes", "name": "In"}),
+         (200, [("way", 20, "outer")],
+          {"type": "multipolygon", "building": "yes", "name": "Out",
+           "historic": "fort"})],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("members", mem_t),
+            T.StructField("tags", T.MapType(T.StringType(),
+                                            T.StringType())),
+        ]),
+    )
+    bbox = (0.0, 0.0, 10.0, 10.0)
+    for complete in (True, False):
+        got = get_layer(nodes, ways, rels, {"building": True},
+                        include_nodes=False, bbox=bbox,
+                        complete_relations=complete,
+                        tag_cols=("name", "historic"))
+        assert {r["id"] for r in got.select("id").collect()} == {100}, \
+            f"complete_relations={complete}"
+        assert "historic" not in got.columns and "name" in got.columns
+    whole = get_layer(nodes, ways, rels, {"building": True},
+                      include_nodes=False,
+                      tag_cols=("name", "historic"))
+    assert {r["id"] for r in whole.select("id").collect()} == {100, 200}
+    assert "historic" in whole.columns
+
+
+def test_mixed_true_list_means_any_value_uniformly(spark):
+    """A mixed value list ['yes', True] means "any value for this key"
+    for EVERY element kind. (The reference's two paths disagree —
+    data_filter.pyx:171 vs :279-285 — this engine standardizes on the
+    ways-path/Solver semantics; see dict_match_column.)"""
+    from pyrosm_spark.functions.filters import element_filter_column
+
+    df = spark.createDataFrame(
+        [(1, {"building": "yes"}), (2, {"building": "retail"}),
+         (3, {"highway": "path"})],
+        "id long, tags map<string,string>")
+    keep = element_filter_column(
+        F.col("tags"), {"building": ["yes", True]}, filter_type="keep")
+    assert {r["id"] for r in df.filter(keep).collect()} == {1, 2}
+    # exclude with default osm_keys (the filter's own keys): the
+    # candidate gate drops non-building rows too (data_manager.pyx:16-24
+    # derives osm_keys from the filter; the gate applies in BOTH
+    # directions, data_filter.pyx:147-148) and every building row
+    # matches any-value -> nothing survives
+    excl = element_filter_column(
+        F.col("tags"), {"building": ["yes", True]}, filter_type="exclude")
+    assert {r["id"] for r in df.filter(excl).collect()} == set()
+    # explicit osm_keys decouple the gate: highway-carrying rows that
+    # don't match the building exclusion survive
+    excl_hw = element_filter_column(
+        F.col("tags"), {"building": ["yes", True]}, osm_keys=["highway"],
+        filter_type="exclude")
+    assert {r["id"] for r in df.filter(excl_hw).collect()} == {3}
