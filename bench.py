@@ -96,6 +96,7 @@ def main():
         "bench", master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 16),
     )
+    saved_confs: dict = {}
 
     def small_file_confs(on: bool):
         """CPU-heavy rows, small bytes (docs/images dedup + decode):
@@ -105,17 +106,26 @@ def main():
         8M-row headline table into 160 splits whose per-task Arrow
         overhead dominates the PIP refine (observed 1.9s -> 6.2s), so
         it is scoped to the queries that need it: these are runtime
-        confs read at file-scan/AQE planning, per query."""
-        if on:
-            spark.conf.set("spark.sql.files.maxPartitionBytes",
-                           str(4 * 1024 * 1024))
-            spark.conf.set(
-                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-                str(1024 * 1024))
-        else:
-            spark.conf.unset("spark.sql.files.maxPartitionBytes")
-            spark.conf.unset(
+        confs read at file-scan/AQE planning, per query. Restore puts
+        back the SESSION's configured values (conf.unset would revert
+        to Spark's hard defaults — e.g. a 64 MB AQE advisory instead
+        of session.py's deliberate 4 MB — silently degrading any
+        query timed after the first toggle cycle)."""
+        keys = ("spark.sql.files.maxPartitionBytes",
                 "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        if on:
+            for k in keys:
+                if k not in saved_confs:
+                    saved_confs[k] = spark.conf.get(k, None)
+            spark.conf.set(keys[0], str(4 * 1024 * 1024))
+            spark.conf.set(keys[1], str(1024 * 1024))
+        else:
+            for k in keys:
+                prev = saved_confs.get(k)
+                if prev is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, prev)
 
     images = spark.read.parquet(os.path.join(bench_dir, "images.parquet"))
     images_hl = spark.read.parquet(

@@ -40,11 +40,15 @@ def segment_length_m(
     return F.round(haversine_m(lat1, lon1, lat2, lon2), 3)
 
 
+# NOTE the fold order mirrors haversine_m EXACTLY —
+# radians(lat2) - radians(lat1), never radians(lat2 - lat1): the two
+# differ in the last ulp, which flips the rounded-to-3-decimals parity
+# contract on ~1 in 4M segments.
 HAVERSINE_SQL = (
     "2.0 * {R} * asin(sqrt("
-    "pow(sin(radians({lat2} - {lat1}) * 0.5), 2) "
+    "pow(sin((radians({lat2}) - radians({lat1})) * 0.5), 2) "
     "+ cos(radians({lat1})) * cos(radians({lat2})) "
-    "* pow(sin(radians({lon2} - {lon1}) * 0.5), 2)))"
+    "* pow(sin((radians({lon2}) - radians({lon1})) * 0.5), 2)))"
 )
 
 

@@ -178,9 +178,51 @@ def points_in_polygon(
     return inside
 
 
+def _on_ring_boundary(px: np.ndarray, py: np.ndarray,
+                      ring: np.ndarray) -> np.ndarray:
+    """Boolean per point: lies exactly on a vertex or edge of ``ring``
+    (exact float arithmetic — OSM touching is shared-node touching, so
+    coincident coordinates are bit-equal)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    rx, ry = ring[:, 0], ring[:, 1]
+    if rx[0] == rx[-1] and ry[0] == ry[-1]:
+        rx, ry = rx[:-1], ry[:-1]
+    x1, y1 = rx, ry
+    x2, y2 = np.roll(rx, -1), np.roll(ry, -1)
+    on = np.zeros(px.shape, dtype=bool)
+    for i in range(len(rx)):
+        xi, yi, xj, yj = x1[i], y1[i], x2[i], y2[i]
+        cross = (xj - xi) * (py - yi) - (yj - yi) * (px - xi)
+        within = (
+            (px >= min(xi, xj)) & (px <= max(xi, xj))
+            & (py >= min(yi, yj)) & (py <= max(yi, yj))
+        )
+        on |= (cross == 0.0) & within
+    return on
+
+
 def ring_contains_ring(outer: np.ndarray, inner: np.ndarray) -> bool:
-    """Non-crossing-ring containment: test one representative vertex."""
-    return bool(points_in_ring(inner[:1, 0], inner[:1, 1], outer)[0])
+    """Non-crossing-ring containment via one representative point of
+    ``inner`` — robust to legal OSM touching (an inner ring sharing
+    nodes/edges with the outer): the half-open ray cast classifies
+    boundary points arbitrarily, so the representative must lie OFF
+    the outer boundary. Fast path: the first vertex, when clear of the
+    boundary; else the first clear vertex, then the first clear edge
+    midpoint; fully coincident rings count as not contained."""
+    pts = inner
+    if pts[0, 0] == pts[-1, 0] and pts[0, 1] == pts[-1, 1]:
+        pts = pts[:-1]
+    if not _on_ring_boundary(pts[:1, 0], pts[:1, 1], outer)[0]:
+        return bool(points_in_ring(pts[:1, 0], pts[:1, 1], outer)[0])
+    for cand in (pts, (pts + np.roll(pts, -1, axis=0)) / 2.0):
+        on = _on_ring_boundary(cand[:, 0], cand[:, 1], outer)
+        if not on.all():
+            k = int(np.argmin(on))
+            return bool(
+                points_in_ring(cand[k:k + 1, 0], cand[k:k + 1, 1], outer)[0]
+            )
+    return False
 
 
 # --------------------------------------------------------------------------
@@ -533,7 +575,8 @@ def geometry_intersects_rect(wkb: bytes, rect) -> bool:
 # numpy haversine (oracle/tests; the engine uses the SQL form)
 # --------------------------------------------------------------------------
 
-AVG_EARTH_RADIUS_M = 6371.0088 * 1000.0
+# single source of truth for the reference-parity radius
+from pyrosm_spark.functions.distance import AVG_EARTH_RADIUS_M
 
 
 def haversine_m_np(lat1, lon1, lat2, lon2):

@@ -131,6 +131,72 @@ def _planes(dim: int, n_planes: int, table: int = 0) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+# --- shared oracle-builder helpers ----------------------------------------
+# Every SQL mirror embeds numpy-derived values as literals; these
+# helpers are the single source of truth for the literal formatting,
+# the hyperplane/bucket SQL, the hash-prefix sample replica and the
+# centroid rows, so the engine and EVERY oracle builder can never
+# drift apart on them.
+
+def _vec_literal(vec) -> str:
+    """DOUBLE[] literal — repr round-trips float64 exactly."""
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+
+def _planes_sql(dim: int, n_planes: int, n_tables: int) -> str:
+    """The seeded hyperplanes of every LSH table as literal rows."""
+    rows = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, t)
+        for p in range(n_planes):
+            weight = 1 << (n_planes - 1 - p)  # MSB-first, as the kernel
+            rows.append(f"SELECT {t} AS tbl, {weight} AS w, "
+                        f"CAST({_vec_literal(planes[p])} AS DOUBLE[]) "
+                        f"AS plane")
+    return " UNION ALL ".join(rows)
+
+
+def _buckets_sql(table: str, n_planes: int) -> str:
+    """The per-(vector, table) bucket CTE body over a ``planes`` CTE:
+    bucket id = (table << n_planes) | sign pattern, as the kernel."""
+    return f"""
+            SELECT e.vec_id, p.tbl,
+                   CAST(sum(CASE WHEN list_dot_product(
+                            CAST(e.embedding AS DOUBLE[]), p.plane) > 0
+                        THEN p.w ELSE 0 END)
+                        + p.tbl * {1 << n_planes} AS BIGINT) AS bucket
+            FROM {table} e, planes p
+            GROUP BY e.vec_id, p.tbl
+    """
+
+
+def _oracle_sample(parquet_path: str, n_train: int,
+                   min_rows: int) -> np.ndarray:
+    """Bit-identical numpy replica of ``_hash_prefix_sample`` over the
+    parquet file (same multiplicative hash, id-ordered head, same
+    tiny-corpus fallback)."""
+    import pyarrow.parquet as _pq
+
+    full = _pq.read_table(
+        parquet_path, columns=["vec_id", "embedding"]).to_pandas()
+    ids = full["vec_id"].to_numpy().astype(np.int64)
+    h = ((ids % _IVF_SAMPLE_RING) * _IVF_SAMPLE_MULT) % _IVF_SAMPLE_RING
+    df = (full[h % _IVF_SAMPLE_MOD == 0]
+          .sort_values("vec_id").head(n_train))
+    if len(df) < min_rows:
+        df = full.sort_values("vec_id").head(n_train)
+    return np.array([np.asarray(v, dtype=np.float64)
+                     for v in df["embedding"]])
+
+
+def _cents_sql(cent: np.ndarray) -> str:
+    """IVF coarse centroids as literal rows."""
+    return " UNION ALL ".join(
+        f"SELECT {c} AS cell, CAST({_vec_literal(cent[c])} AS DOUBLE[]) "
+        f"AS cv"
+        for c in range(len(cent)))
+
+
 def make_bucket_udf(dim: int, n_planes: int = N_PLANES, n_tables: int = 1):
     """UDF: vector -> array of per-table bucket ids, where bucket id
     encodes (table << n_planes) | sign-pattern. One matmul per batch."""
@@ -160,28 +226,11 @@ def ann_lsh_sql(table: str = "embeddings", k: int = 5, dim: int = 64,
     candidate-join + exact-cosine + top-k ranking. The ANN result is
     deterministic — 'approximate' refers to recall, not randomness —
     so it value-checks like any other oracle."""
-    rows = []
-    for t in range(n_tables):
-        planes = _planes(dim, n_planes, t)
-        for p in range(n_planes):
-            lit = "[" + ", ".join(repr(float(w)) for w in planes[p]) + "]"
-            weight = 1 << (n_planes - 1 - p)  # MSB-first, as the kernel
-            rows.append(f"SELECT {t} AS tbl, {weight} AS w, "
-                        f"CAST({lit} AS DOUBLE[]) AS plane")
-    planes_sql = " UNION ALL ".join(rows)
     cos = ("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
            "CAST(c.embedding AS DOUBLE[]))")
     return f"""
-        WITH planes AS ({planes_sql}),
-        buckets AS (
-            SELECT e.vec_id, p.tbl,
-                   CAST(sum(CASE WHEN list_dot_product(
-                            CAST(e.embedding AS DOUBLE[]), p.plane) > 0
-                        THEN p.w ELSE 0 END)
-                        + p.tbl * {1 << n_planes} AS BIGINT) AS bucket
-            FROM {table} e, planes p
-            GROUP BY e.vec_id, p.tbl
-        ),
+        WITH planes AS ({_planes_sql(dim, n_planes, n_tables)}),
+        buckets AS ({_buckets_sql(table, n_planes)}),
         cand AS (
             SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
             FROM buckets qb JOIN buckets cb ON qb.bucket = cb.bucket
@@ -256,6 +305,10 @@ def kmeans_codebook(mat: np.ndarray, n_cells: int,
     function of (sample matrix, n_cells) with seeded init, shared by
     the engine and the DuckDB oracle (``ann_ivf_sql``) so both sides
     derive the identical codebook."""
+    if len(mat) == 0:
+        raise ValueError(
+            "empty training sample: the corpus has no vectors to train "
+            "a codebook on")
     # a codebook can never have more cells than training rows (the
     # dead-cell re-seed below would index past the sample otherwise)
     n_cells = min(n_cells, len(mat))
@@ -410,29 +463,12 @@ def ann_ivf_sql(parquet_path: str, table: str = "embeddings", k: int = 5,
     (row-constant ||x||^2 dropped; stable tie-break on cell index),
     corpus rows land in their single nearest cell, queries probe
     ``nprobe`` cells, then exact cosine + top-k ranking."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
-    n_train = n_cells * sample_per_cell
-    full = t.to_pandas()
-    ids = full["vec_id"].to_numpy().astype(np.int64)
-    h = ((ids % _IVF_SAMPLE_RING) * _IVF_SAMPLE_MULT) % _IVF_SAMPLE_RING
-    df = (full[h % _IVF_SAMPLE_MOD == 0]
-          .sort_values("vec_id").head(n_train))
-    if len(df) < n_cells:  # tiny-corpus fallback, mirrors the trainer
-        df = full.sort_values("vec_id").head(n_train)
-    mat = np.array([np.asarray(v, dtype=np.float64)
-                    for v in df["embedding"]])
+    mat = _oracle_sample(parquet_path, n_cells * sample_per_cell, n_cells)
     cent = kmeans_codebook(mat, n_cells)
-    rows = []
-    for c in range(n_cells):
-        lit = "[" + ", ".join(repr(float(x)) for x in cent[c]) + "]"
-        rows.append(f"SELECT {c} AS cell, CAST({lit} AS DOUBLE[]) AS cv")
-    cents_sql = " UNION ALL ".join(rows)
     cos = ("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
            "CAST(c.embedding AS DOUBLE[]))")
     return f"""
-        WITH cents AS ({cents_sql}),
+        WITH cents AS ({_cents_sql(cent)}),
         cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS n2 FROM cents),
         assigned AS (
             SELECT e.vec_id, c.cell,
@@ -499,6 +535,10 @@ def pq_codebooks_from_sample(mat: np.ndarray, m: int,
     """numpy core shared by the engine and the oracle builder: per-
     subspace :func:`kmeans_codebook` over the sample's subspace
     columns."""
+    if mat.shape[1] % m:
+        # validated here (the shared core) so the combined-training
+        # path in ann_topk_ivfpq can't silently truncate trailing dims
+        raise ValueError(f"dim={mat.shape[1]} not divisible by m={m}")
     dsub = mat.shape[1] // m
     return np.stack([
         kmeans_codebook(mat[:, j * dsub:(j + 1) * dsub], kc)
@@ -662,45 +702,24 @@ def ann_ivfpq_sql(parquet_path: str, table: str = "embeddings",
     nprobe candidate generation, and ADC scoring with the
     PQ-reconstructed norm — so the value oracle checks the exact
     approximate ranking, not merely recall."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
-    full = t.to_pandas()
-    ids = full["vec_id"].to_numpy().astype(np.int64)
-    h = ((ids % _IVF_SAMPLE_RING) * _IVF_SAMPLE_MULT) % _IVF_SAMPLE_RING
-    sampled = full[h % _IVF_SAMPLE_MOD == 0].sort_values("vec_id")
-    df = sampled.head(n_cells * sample_per_cell)
-    if len(df) < n_cells:
-        df = full.sort_values("vec_id").head(n_cells * sample_per_cell)
-    mat = np.array([np.asarray(v, dtype=np.float64)
-                    for v in df["embedding"]])
+    mat = _oracle_sample(parquet_path, n_cells * sample_per_cell, n_cells)
     cent = kmeans_codebook(mat, n_cells)
-    dfp = sampled.head(kc * sample_per_cell)
-    if len(dfp) < kc:
-        dfp = full.sort_values("vec_id").head(kc * sample_per_cell)
-    matp = np.array([np.asarray(v, dtype=np.float64)
-                     for v in dfp["embedding"]])
+    matp = _oracle_sample(parquet_path, kc * sample_per_cell, kc)
     books = pq_codebooks_from_sample(matp, m, kc)
     dsub = books.shape[2]
 
-    rows = []
-    for c in range(n_cells):
-        lit = "[" + ", ".join(repr(float(x)) for x in cent[c]) + "]"
-        rows.append(f"SELECT {c} AS cell, CAST({lit} AS DOUBLE[]) AS cv")
-    cents_sql = " UNION ALL ".join(rows)
     prow = []
     for j in range(m):
         lo, hi = j * dsub + 1, (j + 1) * dsub
         for c in range(kc):
-            lit = ("[" + ", ".join(repr(float(x)) for x in books[j][c])
-                   + "]")
             n2 = repr(float((books[j][c] * books[j][c]).sum()))
             prow.append(
                 f"SELECT {j} AS sub, {c} AS code, {lo} AS lo, {hi} AS hi,"
-                f" CAST({lit} AS DOUBLE[]) AS cv, {n2} AS n2")
+                f" CAST({_vec_literal(books[j][c])} AS DOUBLE[]) AS cv,"
+                f" {n2} AS n2")
     pq_sql = " UNION ALL ".join(prow)
     return f"""
-        WITH cents AS ({cents_sql}),
+        WITH cents AS ({_cents_sql(cent)}),
         cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS n2 FROM cents),
         pqc AS ({pq_sql}),
         assigned AS (
@@ -816,28 +835,11 @@ def lsh_cosine_pairs_sql(table: str = "embeddings",
                          n_planes: int = 6, n_tables: int = 8) -> str:
     """DuckDB mirror of ``lsh_cosine_pairs`` (same embedded-hyperplane
     pattern as ``ann_lsh_sql``)."""
-    rows = []
-    for t in range(n_tables):
-        planes = _planes(dim, n_planes, t)
-        for p in range(n_planes):
-            lit = "[" + ", ".join(repr(float(w)) for w in planes[p]) + "]"
-            weight = 1 << (n_planes - 1 - p)
-            rows.append(f"SELECT {t} AS tbl, {weight} AS w, "
-                        f"CAST({lit} AS DOUBLE[]) AS plane")
-    planes_sql = " UNION ALL ".join(rows)
     cos = ("list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), "
            "CAST(y.embedding AS DOUBLE[]))")
     return f"""
-        WITH planes AS ({planes_sql}),
-        buckets AS (
-            SELECT e.vec_id, p.tbl,
-                   CAST(sum(CASE WHEN list_dot_product(
-                            CAST(e.embedding AS DOUBLE[]), p.plane) > 0
-                        THEN p.w ELSE 0 END)
-                        + p.tbl * {1 << n_planes} AS BIGINT) AS bucket
-            FROM {table} e, planes p
-            GROUP BY e.vec_id, p.tbl
-        ),
+        WITH planes AS ({_planes_sql(dim, n_planes, n_tables)}),
+        buckets AS ({_buckets_sql(table, n_planes)}),
         cand AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM buckets a JOIN buckets b

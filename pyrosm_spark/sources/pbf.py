@@ -316,7 +316,9 @@ def _dense_info(pdf: pd.DataFrame) -> bytes:
     out = _packed(1, _int_col(pdf, "version").astype(np.uint64))
     out += _packed(2, _delta_zz(_int_col(pdf, "timestamp")))
     out += _packed(3, _delta_zz(_int_col(pdf, "changeset")))
-    vis = (pdf["visible"].fillna(True).to_numpy(dtype=bool)
+    # .astype(bool) before to_numpy: object-dtype fillna stops
+    # silently downcasting under pandas 3 (FutureWarning per task)
+    vis = (pdf["visible"].fillna(True).astype(bool).to_numpy(dtype=bool)
            if "visible" in pdf else np.ones(len(pdf), dtype=bool))
     out += _packed(6, vis.astype(np.uint64))
     return out
@@ -946,4 +948,13 @@ def write_pbf_sharded(nodes, ways, relations, out_dir: str,
     for r in manifest_rows:
         out[r["typ"]] += int(r["rows"])
         out["files"] += 1
+    if out["files"] == 0:
+        # fully empty dataset (e.g. an empty crop): emit one
+        # header-only shard so the directory round-trips through
+        # read_pbf_union as an empty frame, matching write_pbf's
+        # header-only empty file
+        path = os.path.join(out_dir, "nodes-00000.osm.pbf")
+        with open(path, "wb") as f:
+            f.write(frame_blob("OSMHeader", encode_header_block(None, False)))
+        out["files"] = 1
     return out

@@ -66,7 +66,11 @@ def _infer_format(location: str) -> str:
             return fmt
     if os.path.exists(location):
         return "parquet"
-    if "/" not in location and "\\" not in location:
+    # catalog identifiers are DOTTED (``cat.db.tbl`` / ``db.tbl``): a
+    # bare slash-free name like 'results' is a not-yet-existing output
+    # directory, not an identifier — routing it to Iceberg would make
+    # write_table(df, 'results') fail while './results' succeeds
+    if "/" not in location and "\\" not in location and "." in location:
         return "iceberg"
     return "parquet"
 

@@ -627,3 +627,25 @@ def test_dict_filter_random_differential(spark):
         exp = {i for i, tags in rows
                if keep_way(tags, nfilt or None, osm_keys, ftype)}
         assert got == exp, (filt, osm_keys, ftype)
+
+
+def test_assemble_multipolygon_hole_touching_shell():
+    """A legal OSM inner ring touching the outer at a shared node (even
+    as the ring's FIRST vertex, which the ray cast classifies
+    arbitrarily) must still classify as a hole, not a second shell."""
+    shell = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    # first vertex lies ON the shell's right edge
+    hole = np.array([[4, 2], [2, 1], [2, 3], [4, 2]], float)
+    assert G.ring_contains_ring(shell, hole)
+    polys = G.assemble_multipolygon([shell, hole])
+    assert polys is not None and [len(p) for p in polys] == [2]
+    # corner-sharing hole
+    hole_c = np.array([[0, 0], [1, 0.5], [0.5, 1], [0, 0]], float)
+    assert G.ring_contains_ring(shell, hole_c)
+    # disjoint / containing / identical rings stay non-contained
+    far = np.array([[10, 10], [11, 10], [11, 11], [10, 10]], float)
+    big = np.array([[-1, -1], [5, -1], [5, 5], [-1, 5], [-1, -1]], float)
+    assert not G.ring_contains_ring(shell, far)
+    assert not G.ring_contains_ring(shell, big)
+    assert G.ring_contains_ring(big, shell)
+    assert not G.ring_contains_ring(shell, shell.copy())

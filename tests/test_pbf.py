@@ -522,6 +522,29 @@ def test_sharded_rewrite_clears_stale_shards(spark, tmp_path):
     assert len(glob.glob(os.path.join(out, "nodes-*.osm.pbf"))) == 2
 
 
+def test_write_pbf_sharded_empty_dataset_roundtrips(spark, tmp_path):
+    """A fully empty dataset (e.g. an empty crop) still produces a
+    readable shard directory: one header-only file, empty frames back
+    (matching write_pbf's header-only empty file)."""
+    empty_n = spark.createDataFrame(
+        [], "id long, lon double, lat double, tags map<string,string>, "
+            "version int, changeset long, timestamp long, visible boolean")
+    empty_w = spark.createDataFrame(
+        [], "id long, refs array<long>, tags map<string,string>, "
+            "version int, changeset long, timestamp long, visible boolean")
+    empty_r = spark.createDataFrame(
+        [], "id long, members array<struct<member_id:long, "
+            "member_type:string, member_role:string>>, "
+            "tags map<string,string>, version int, changeset long, "
+            "timestamp long, visible boolean")
+    out = str(tmp_path / "empty_shards")
+    manifest = pbf.write_pbf_sharded(empty_n, empty_w, empty_r, out)
+    assert manifest == {"nodes": 0, "ways": 0, "relations": 0, "files": 1}
+    n, w, r = pbf.read_pbf(spark, out)
+    assert (n.count(), w.count(), r.count()) == (0, 0, 0)
+    assert pbf.read_pbf_union(spark, out).count() == 0
+
+
 # -- S11 edit write-back (pbf_edit) -----------------------------------------
 
 def _edit_base(spark, synth_dir):

@@ -201,6 +201,21 @@ def test_kmeans_tiny_sample_clamps_cells():
     assert cb.shape == (5, 2)
 
 
+def test_codebook_training_input_validation():
+    """Empty corpora and non-divisible PQ subspace splits raise clear
+    errors instead of numpy IndexErrors / silent dim truncation."""
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError, match="empty training sample"):
+        S.kmeans_codebook(np.array([]), 16)
+    # the shared PQ core guards dim % m for EVERY caller, including
+    # ann_topk_ivfpq's combined-training branch
+    mat = np.arange(128, dtype=np.float64).reshape(2, 64)
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_codebooks_from_sample(mat, m=5, kc=4)
+
+
 def test_simhash_pairs_properties(spark, docs):
     pairs = D.simhash_pairs(docs, max_hamming=16)
     rows = pairs.collect()

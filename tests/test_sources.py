@@ -13,6 +13,8 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def test_infer_format(tmp_path):
     assert _infer_format("catalog.db.images") == "iceberg"
+    # a bare not-yet-existing name is an output dir, not an identifier
+    assert _infer_format("results") == "parquet"
     assert _infer_format(str(tmp_path)) == "parquet"
     os.makedirs(tmp_path / "metadata")
     assert _infer_format(str(tmp_path)) == "iceberg"
