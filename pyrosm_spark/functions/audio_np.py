@@ -29,12 +29,17 @@ def decode_audio(buf: bytes, fmt: str, n_channels: int = 1) -> np.ndarray:
     never fail the job.
     """
     if fmt == "pcm16":
+        # null metadata arrives from pandas as None or NaN — int()
+        # raises on both; NaN > 1 is False, so without this guard a
+        # multi-channel payload would silently decode as mono
+        try:
+            nch = int(n_channels)
+        except (TypeError, ValueError):
+            raise ValueError(f"invalid n_channels {n_channels!r}")
+        if nch < 1:
+            raise ValueError(f"invalid n_channels {n_channels!r}")
         flat = np.frombuffer(buf, dtype="<i2").astype(np.float64) / 32767.0
-        if n_channels > 1:
-            flat = flat.reshape(-1, n_channels)
-        else:
-            flat = flat.reshape(-1, 1)
-        return flat
+        return flat.reshape(-1, max(nch, 1))
     raise NotImplementedError(
         f"audio format {fmt!r} requires a codec library absent from this "
         "container; only raw 'pcm16' decodes here")

@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def street_count(edges: DataFrame, u_col: str = "u",
@@ -516,8 +517,13 @@ def connected_components(edges: DataFrame, u_col: str = "u",
     if not roots:
         return labels
     spark = edges.sparkSession
+    # the label type follows the node-id type (string image ids for the
+    # phash/near-dup pair sets, longs for OSM) — never hardcode long
+    comp_type = labels.schema["comp"].dataType
     mapping = spark.createDataFrame(
-        [(k, v) for k, v in roots.items()], "comp long, root long")
+        [(k, v) for k, v in roots.items()],
+        T.StructType([T.StructField("comp", comp_type),
+                      T.StructField("root", comp_type)]))
     return (
         labels.join(F.broadcast(mapping), "comp", "left")
         .select("node", F.coalesce("root", "comp").alias("comp"))
@@ -794,7 +800,12 @@ def scc_components_distributed(
                  .union(E.select(F.col("v").alias("node")))
                  .distinct().localCheckpoint())
     spark = edges.sparkSession
-    done = spark.createDataFrame([], "node long, comp long")
+    # node-id type follows the input (longs for OSM, strings for e.g.
+    # image-id pair sets)
+    node_type = E.schema["u"].dataType
+    done = spark.createDataFrame([], T.StructType([
+        T.StructField("node", node_type),
+        T.StructField("comp", node_type)]))
 
     for _outer in range(max_outer):
         if E.limit(1).count() == 0:

@@ -185,7 +185,15 @@ def audio_features(audio: DataFrame) -> DataFrame:
                     wave = A.decode_audio(bytes(r.bytes), r.fmt,
                                           r.n_channels)
                     n = len(wave)
-                    dur = int(round(n * 1000.0 / r.sample_rate))
+                    try:
+                        rate = int(r.sample_rate)
+                    except (TypeError, ValueError):
+                        rate = 0
+                    if rate <= 0:  # null/zero metadata — poison row,
+                        # not a ZeroDivisionError that fails the task
+                        raise ValueError(
+                            f"invalid sample_rate {r.sample_rate!r}")
+                    dur = int(round(n * 1000.0 / rate))
                     rows.append((r.audio_id, True, None, n, dur,
                                  round(A.rms_energy(wave), 6),
                                  round(A.zero_crossing_rate(wave), 6),

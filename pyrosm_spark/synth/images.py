@@ -142,6 +142,13 @@ def generate_images_table(
         if os.path.isfile(out_path):
             os.remove(out_path)
         os.makedirs(out_path, exist_ok=True)
+        # a rebuild with fewer rows must not leave stale high-numbered
+        # parts behind — readers glob the directory and would silently
+        # include them
+        import glob as _glob
+
+        for stale in _glob.glob(os.path.join(out_path, "part-*.parquet")):
+            os.remove(stale)
         for i in range(0, n_rows, rows_per_file):
             pq.write_table(
                 chunk_table(i, min(i + rows_per_file, n_rows)),
@@ -149,6 +156,12 @@ def generate_images_table(
                 row_group_size=row_group_size,
             )
     else:
+        if os.path.isdir(out_path):
+            # switching back from the multi-file layout: replace the
+            # directory instead of crashing pq.write_table on it
+            import shutil as _shutil
+
+            _shutil.rmtree(out_path)
         pq.write_table(chunk_table(0, n_rows), out_path,
                        row_group_size=row_group_size)
     return out_path

@@ -163,25 +163,30 @@ def _build_street_grid(w: _World, grid: int):
         refs.append(n_b)
         hw = HIGHWAY_CLASSES[k % len(HIGHWAY_CLASSES)]
         tags = {"highway": hw}
-        m10 = k % 10
+        # variant index must be independent of the k % 10 gate: an
+        # expression like [..][k % 5] inside `k % 10 == 0` always picks
+        # element 0 (k % 10 == 0 implies k % 5 == 0), silently killing
+        # every other variant — and with it the oracle gate's coverage
+        # of e.g. the '-1'/'T' oneway reversal path
+        m10, variant = k % 10, k // 10
         if m10 == 0:
-            tags["oneway"] = ["yes", "-1", "T", "true", "1"][k % 5]
+            tags["oneway"] = ["yes", "-1", "T", "true", "1"][variant % 5]
         elif m10 == 1:
             tags["junction"] = "roundabout"
         elif m10 == 2:
             tags["service"] = ["parking", "parking_aisle", "private",
-                               "emergency_access", "driveway"][k % 5]
+                               "emergency_access", "driveway"][variant % 5]
         elif m10 == 3:
-            tags["foot"] = "no" if k % 2 else "yes"
+            tags["foot"] = "no" if variant % 2 else "yes"
         elif m10 == 4:
-            tags["bicycle"] = "no" if k % 2 else "designated"
+            tags["bicycle"] = "no" if variant % 2 else "designated"
         elif m10 == 5:
-            tags["motor_vehicle"] = "no" if k % 2 else "yes"
+            tags["motor_vehicle"] = "no" if variant % 2 else "yes"
         elif m10 == 6:
             tags["oneway"] = "yes"
             tags["oneway:bicycle"] = "no"  # contraflow cycling
         elif m10 == 7:
-            tags["psv"] = "yes" if k % 2 else "no"
+            tags["psv"] = "yes" if variant % 2 else "no"
         elif m10 == 8:
             tags["maxspeed"] = str([30, 40, 50, 60, 80, 100][k % 6])
             tags["lanes"] = str(1 + k % 4)

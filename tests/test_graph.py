@@ -9,6 +9,7 @@ from pyrosm_spark.operators.graph import (
     degrees,
     largest_component_edges,
     scc_components,
+    scc_components_distributed,
     simplify_chains,
     street_count,
 )
@@ -862,3 +863,27 @@ def test_connected_components_streamed_finish(spark, toy_edges):
                  connected_components(
                      toy_edges, max_driver_edges=0).collect())
     assert got == want
+
+
+def test_connected_components_string_ids(spark):
+    """Component labels follow the node-id TYPE: string ids (phash /
+    near-dup image pair sets) must work end-to-end, including the
+    driver union-find residual mapping (previously hardcoded
+    'comp long, root long')."""
+    pairs = spark.createDataFrame(
+        [(f"img{i:04d}", f"img{i + 1:04d}") for i in range(0, 200)]
+        + [("solo_a", "solo_b")],
+        "a string, b string")
+    cc = connected_components(pairs, "a", "b")
+    rows = cc.collect()
+    comps = {r["comp"] for r in rows}
+    assert comps == {"img0000", "solo_a"}
+    assert len(rows) == 203
+    # distributed SCC on string ids: small directed cycle + tail
+    cyc = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x"), ("z", "tail")],
+        "a string, b string")
+    scc = scc_components_distributed(cyc, "a", "b")
+    got = {r["node"]: r["comp"] for r in scc.collect()}
+    assert got == {"x": "x", "y": "x", "z": "x", "tail": "tail"}
+    assert scc.schema["comp"].dataType.simpleString() == "string"

@@ -372,6 +372,34 @@ def test_audio_features_invariants(spark, tmp_path_factory):
         assert 0.0 < r["peak"] <= 1.0
 
 
+def test_audio_corrupt_metadata_degrades_per_row(spark):
+    """Corrupt/null metadata is a poison ROW, never a job failure or a
+    silent mis-decode: sample_rate 0/null must not ZeroDivisionError
+    the task, and null n_channels must not decode multi-channel
+    payloads as mono (ok=False + err instead)."""
+    import numpy as np
+
+    from pyrosm_spark.functions.audio_np import encode_pcm16
+    from pyrosm_spark.operators.multimodal import audio_features
+
+    wave = np.linspace(-0.5, 0.5, 800).reshape(-1, 2)
+    payload = encode_pcm16(wave)
+    rows = [
+        ("good", payload, 16000, 2, "pcm16", 25),
+        ("zero_rate", payload, 0, 2, "pcm16", 25),
+        ("null_rate", payload, None, 2, "pcm16", 25),
+        ("null_channels", payload, 16000, None, "pcm16", 25),
+    ]
+    audio = spark.createDataFrame(
+        rows, "audio_id string, bytes binary, sample_rate int, "
+              "n_channels int, fmt string, duration_ms int")
+    feats = {r["audio_id"]: r for r in audio_features(audio).collect()}
+    assert feats["good"]["ok"] and feats["good"]["n_samples"] == 400
+    for bad in ("zero_rate", "null_rate", "null_channels"):
+        assert feats[bad]["ok"] is False, bad
+        assert feats[bad]["err"], bad
+
+
 def test_audio_pcm16_roundtrip():
     """encode_pcm16 -> decode_audio is lossless to int16 resolution."""
     import numpy as np
