@@ -74,9 +74,17 @@ def decode_png(buf: bytes) -> np.ndarray:
         payload = buf[off + 8: off + 8 + length]
         off += 12 + length
         if tag == b"IHDR":
-            w, h, bit_depth, color_type = struct.unpack_from(">IIBB", payload)
+            w, h, bit_depth, color_type, _comp, _filt, interlace = \
+                struct.unpack_from(">IIBBBBB", payload)
             if bit_depth != 8 or color_type != 2:
                 raise ValueError("decoder supports 8-bit RGB only")
+            if interlace != 0:
+                # Adam7 passes have a different IDAT layout — without
+                # this check a standards-compliant interlaced PNG dies
+                # in an opaque reshape error (or decodes to garbage)
+                raise ValueError(
+                    "decoder supports non-interlaced PNG only "
+                    "(Adam7 interlace unsupported)")
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -242,12 +250,34 @@ def encode_vid(frames: list, fps: int = 10) -> bytes:
     return head + body
 
 
+# magics of real containers we RECOGNIZE but cannot decode here —
+# these get NotImplementedError (a missing capability), everything
+# else is malformed data and gets ValueError like the sibling
+# decoders, so per-row 'except ValueError' skip loops behave uniformly
+_KNOWN_VIDEO_CONTAINERS = (
+    (b"ftyp", 4, "mp4/mov"),        # ISO BMFF: 'ftyp' at offset 4
+    (b"RIFF", 0, "avi"),
+    (b"\x1aE\xdf\xa3", 0, "mkv/webm"),  # EBML header
+)
+
+
 def vid_info(buf: bytes):
-    """(n_frames, fps); raises on a non-vid1 payload."""
+    """(n_frames, fps).
+
+    Raises NotImplementedError for a *recognized* real container
+    (mp4/avi/mkv — needs an ffmpeg/pyav build absent from this
+    environment) and ValueError for malformed/truncated payloads, the
+    same contract as :func:`decode_png`/:func:`decode_qimg` so
+    bad-row skip loops catch one exception type."""
     if buf[:4] != _VID_MAGIC:
-        raise NotImplementedError(
-            "not a vid1 payload; real containers (mp4 etc.) need an "
-            "ffmpeg/pyav build absent from this environment")
+        for magic, off, name in _KNOWN_VIDEO_CONTAINERS:
+            if buf[off:off + len(magic)] == magic:
+                raise NotImplementedError(
+                    f"{name} container decode needs an ffmpeg/pyav "
+                    f"build absent from this environment")
+        raise ValueError("not a vid1 payload")
+    if len(buf) < 8:
+        raise ValueError("truncated vid1 header")
     n, fps = struct.unpack_from("<HH", buf, 4)
     return n, fps
 

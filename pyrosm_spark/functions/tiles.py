@@ -31,10 +31,22 @@ _RES_SHIFT = 58
 _COORD_MASK = (1 << _X_SHIFT) - 1
 
 
+def _clamped_idx_dyn(coord: Column, offset: float, extent: float,
+                     n: Column) -> Column:
+    """Clamped grid index with a PER-ROW cell count ``n`` (= 2^res,
+    long Column). The ONE clamped-index formula: ``cell_x``/``cell_y``
+    (routing) and the dynamic-res cover explode both delegate here —
+    bit-parity between the two is load-bearing (a polygon routed by
+    ``cell_x`` must land in exactly the cells its cover emits)."""
+    idx = F.floor((coord + F.lit(offset)) / F.lit(extent)
+                  * n.cast("double"))
+    return F.greatest(F.lit(0).cast("long"),
+                      F.least(n - F.lit(1), idx.cast("long")))
+
+
 def _clamped_idx(coord: Column, offset: float, extent: float, res: int) -> Column:
-    n = 1 << res
-    idx = F.floor((coord + F.lit(offset)) / F.lit(extent) * F.lit(float(n)))
-    return F.greatest(F.lit(0), F.least(F.lit(n - 1), idx)).cast("long")
+    return _clamped_idx_dyn(coord, offset, extent,
+                            F.lit(1 << res).cast("long"))
 
 
 def cell_x(lon: Column, res: int) -> Column:

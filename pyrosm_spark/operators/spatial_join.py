@@ -64,7 +64,7 @@ def release_pinned_caches() -> None:
 
 
 def _left_union(matched: DataFrame, rows: DataFrame, key_col: str,
-                extend=None) -> DataFrame:
+                extend=None, op: str = "left_union") -> DataFrame:
     """``how="left"`` completion core shared by the PIP and raster
     joins: matched rows unioned with every input row that matched
     NOTHING (match-side columns null). Unmatched detection is a
@@ -73,9 +73,13 @@ def _left_union(matched: DataFrame, rows: DataFrame, key_col: str,
     semi-join on the key, not a second refine. ``matched`` is PINNED
     (per-call lifecycle) because the plan reads it twice (the union arm
     and the anti-join build side); without the pin the candidate join +
-    exact refine — the dominant cost — would execute twice per action."""
-    _release_pins("left_union")
-    matched = _pin("left_union", matched)
+    exact refine — the dominant cost — would execute twice per action.
+    ``op`` namespaces the pin PER CALLING OPERATOR: with one shared tag
+    a second how='left' join from a DIFFERENT operator (PIP vs raster)
+    would release the first join's pin before any action ran, and the
+    first plan's dominant cost would then execute twice per action."""
+    _release_pins(op)
+    matched = _pin(op, matched)
     unmatched = rows.join(matched.select(key_col), key_col, "left_anti")
     if extend is not None:
         unmatched = extend(unmatched)
@@ -88,7 +92,8 @@ def _left_union(matched: DataFrame, rows: DataFrame, key_col: str,
 
 def _left_extend_points(points: DataFrame, matched: DataFrame,
                         point_id_col: str | None, res: int,
-                        lon_col: str, lat_col: str) -> DataFrame:
+                        lon_col: str, lat_col: str,
+                        op: str = "pip_left") -> DataFrame:
     """``how="left"`` completion for the PIP joins (see
     :func:`_left_union`); requires a caller-named unique point id."""
     if point_id_col is None or point_id_col not in points.columns:
@@ -103,7 +108,7 @@ def _left_extend_points(points: DataFrame, matched: DataFrame,
             return assign_tiles(unmatched, res, lon_col, lat_col)
         return unmatched
 
-    return _left_union(matched, points, point_id_col, extend)
+    return _left_union(matched, points, point_id_col, extend, op=op)
 
 
 def _apply_broadcast_dial(side: DataFrame, broadcast_polygons: bool | None):
@@ -177,14 +182,13 @@ def cover_cells_dyn_expr(bbox_col: str, res_col: F.Column) -> F.Column:
     b = F.col(bbox_col)
     r = res_col.cast("int")
     # 2^r with a per-row r (shiftleft needs a literal bit count);
-    # exact in double for r <= 29
+    # exact in double for r <= 29. The index formula itself is
+    # tiles._clamped_idx_dyn — the SAME expression cell_x/cell_y
+    # route on, so cover generation and routing stay bit-equal.
     n = F.pow(F.lit(2.0), r.cast("double")).cast("long")
 
     def idx(coord, offset, extent):
-        v = F.floor((coord + F.lit(offset)) / F.lit(extent)
-                    * n.cast("double"))
-        return F.greatest(F.lit(0).cast("long"),
-                          F.least(n - 1, v.cast("long")))
+        return tiles._clamped_idx_dyn(coord, offset, extent, n)
 
     x0, x1 = idx(b["xmin"], 180.0, 360.0), idx(b["xmax"], 180.0, 360.0)
     y0, y1 = idx(b["ymin"], 90.0, 180.0), idx(b["ymax"], 90.0, 180.0)
@@ -546,6 +550,7 @@ def point_in_polygon_join_compact(
     # don't re-run per action (MEMORY_AND_DISK, LRU-evictable; pinned
     # per-call, released when the next compact join begins).
     _release_pins("pip_compact")
+    _release_pins("pip_compact_left")
     polygons = _pin("pip_compact", polygons)
     # per-polygon effective resolution: drop one level per factor-4
     # overshoot of the cell budget (closed-form from the bbox alone)
@@ -607,7 +612,8 @@ def point_in_polygon_join_compact(
         "cell", tiles.cell_id(F.col(lon_col), F.col(lat_col), res))
     if how == "left":
         return _left_extend_points(in_points, refined, point_id_col,
-                                   res, lon_col, lat_col)
+                                   res, lon_col, lat_col,
+                                   op="pip_compact_left")
     return refined
 
 
@@ -648,6 +654,10 @@ def point_in_polygon_join(
         raise ValueError(f"unknown refine {refine!r}")
     if how not in ("inner", "left"):
         raise ValueError(f"unknown how {how!r} (inner|left)")
+    # a new pip call ends the previous pip call's pin lifecycle (a
+    # stale pinned matched-frame would otherwise cache-substitute into
+    # THIS call's plan, silently overriding e.g. its broadcast dials)
+    _release_pins("pip_left")
     pts = assign_tiles(points, res, lon_col, lat_col)
     if refine == "native" and "_segsets" not in polygons.columns:
         # callers (streaming_pip_join) may pre-decode + persist the
@@ -878,6 +888,7 @@ def raster_polygon_join(
     column needed)."""
     if how not in ("inner", "left"):
         raise ValueError(f"unknown how {how!r} (inner|left)")
+    _release_pins("raster_left")  # see point_in_polygon_join
     keys = [c for c in id_cols if c in polygons.columns]
     if not keys:
         raise ValueError(
@@ -917,7 +928,7 @@ def raster_polygon_join(
                   .drop("_segsets")
     if how == "inner":
         return matched
-    return _left_union(matched, tiles_df, cell_col)
+    return _left_union(matched, tiles_df, cell_col, op="raster_left")
 
 
 # --------------------------------------------------------------------------

@@ -169,13 +169,15 @@ class CheckpointManager:
             self.skipped.append(name)
             return self.spark.read.parquet(out_dir)
 
-        # stale/partial attempt -> clear; build under a PER-ATTEMPT tmp
-        # (pid+uuid) so two concurrent builders of the same key never
-        # write into each other's staging dir — last rename wins, both
-        # publish identical content (the key pins inputs+params)
+        # build under a PER-ATTEMPT tmp (pid+uuid) so two concurrent
+        # builders of the same key never write into each other's
+        # staging dir — both publish identical content (the key pins
+        # inputs+params). Stale/partial dirs are cleared at PUBLISH
+        # time behind a fresh _valid() check: clearing here would race
+        # a concurrent builder that publishes a valid result between
+        # our _valid()=False above and the rmtree, deleting its output
+        # under an already-returned DataFrame.
         tmp = f"{out_dir}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-        if os.path.exists(out_dir):
-            shutil.rmtree(out_dir)
 
         t0 = time.time()
         df = fn()
@@ -199,10 +201,20 @@ class CheckpointManager:
         try:
             os.rename(tmp, out_dir)  # atomic publish (cache.py:121-141)
         except OSError:
-            # another attempt published first; both carry the same key
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not self._valid(out_dir, key):
-                raise
+            if self._valid(out_dir, key):
+                # another attempt published first; both carry the same
+                # key, so its content is ours — drop our copy
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # stale/partial residue from a dead run blocks the
+                # rename — clear it (re-validated just above) and retry
+                shutil.rmtree(out_dir, ignore_errors=True)
+                try:
+                    os.rename(tmp, out_dir)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not self._valid(out_dir, key):
+                        raise
         self.executed.append(name)
         return self.spark.read.parquet(out_dir)
 

@@ -197,6 +197,19 @@ def write_spatial_clustered(
     a 10^12-row table: the exchange is one range shuffle, the sort is
     per-partition, nothing ever gathers to the driver.
     """
+    meta = {"res": res, "key_col": key_col,
+            "lon_col": lon_col, "lat_col": lat_col}
+    if mode == "append":
+        # an append at a different res would rewrite the sidecar and
+        # re-label rows keyed at the OLD res — scan_spatial's pushed
+        # Morton ranges would then silently miss them (the exact
+        # silent-row-drop its res validation exists to prevent)
+        prior = read_layout_meta(path)
+        if prior is not None and prior != meta:
+            raise ValueError(
+                f"append layout {meta} != existing clustered layout "
+                f"{prior} for {path}: appended keys would not match "
+                f"the persisted sidecar and scans would drop rows")
     keyed = df.withColumn(key_col, morton_key(
         F.col(lon_col), F.col(lat_col), res))
     if num_files is None:
@@ -205,8 +218,6 @@ def write_spatial_clustered(
     (keyed.repartitionByRange(num_files, F.col(key_col))
           .sortWithinPartitions(key_col)
           .write.mode(mode).parquet(path))
-    meta = {"res": res, "key_col": key_col,
-            "lon_col": lon_col, "lat_col": lat_col}
     with open(os.path.join(path, _LAYOUT_META), "w") as f:
         json.dump(meta, f)
     return path
@@ -353,9 +364,14 @@ def assign_shards(
     span = int(bounds["hi"]) - lo + 1
     # ceil-log2 split of the span keeps buckets <= n_buckets while the
     # bucket id stays monotonic in the key (equal keys share a bucket,
-    # so the id tiebreak never crosses buckets)
+    # so the id tiebreak never crosses buckets). Null order keys (e.g.
+    # a null lon/lat row whose Morton key is null) go to bucket -1:
+    # they sort FIRST, matching the window's ``key.asc()`` nulls-first
+    # order, instead of crashing the histogram sort / silently falling
+    # out of the inner join on "b".
     shift = max(0, span.bit_length() - max(1, n_buckets).bit_length() + 1)
-    bucket = F.shiftright(key.cast("long") - F.lit(lo), shift)
+    bucket = F.when(key.isNull(), F.lit(-1).cast("long")).otherwise(
+        F.shiftright(key.cast("long") - F.lit(lo), shift))
     hist = df.select(bucket.alias("b")).groupBy("b").count().collect()
     offsets, acc = [], 0
     for r in sorted(hist, key=lambda r: r["b"]):
@@ -393,15 +409,21 @@ def write_training_shards(
     write parquet partitioned by shard — each ``shard=N/`` directory is
     one self-contained, spatially-coherent unit a dataloader can claim.
     """
+    meta = {"res": res, "key_col": "_zkey", "lon_col": lon_col,
+            "lat_col": lat_col, "rows_per_shard": rows_per_shard,
+            "id_col": id_col}
+    if mode == "append":
+        prior = read_layout_meta(path)
+        if prior is not None and prior != meta:
+            raise ValueError(
+                f"append shard layout {meta} != existing layout {prior} "
+                f"for {path}")
     keyed = df.withColumn("_zkey", morton_key(
         F.col(lon_col), F.col(lat_col), res))
     sharded = assign_shards(keyed, rows_per_shard, "_zkey", id_col)
     (sharded.repartition("shard")
             .sortWithinPartitions("shard", "_zkey", id_col)
             .write.mode(mode).partitionBy("shard").parquet(path))
-    meta = {"res": res, "key_col": "_zkey", "lon_col": lon_col,
-            "lat_col": lat_col, "rows_per_shard": rows_per_shard,
-            "id_col": id_col}
     with open(os.path.join(path, _LAYOUT_META), "w") as f:
         json.dump(meta, f)
     return path

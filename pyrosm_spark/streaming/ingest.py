@@ -15,11 +15,16 @@ against the batch run of the same input.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pyrosm_spark.functions import tiles
+
+# unique pin tag per streaming_pip_join call (see its docstring)
+_STREAM_PIP_SEQ = itertools.count()
 
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -63,8 +68,14 @@ def _file_stream(spark, schema, path: str, max_files_per_trigger: int):
             os.makedirs(stage_dir, exist_ok=True)
             # per-process temp name + atomic replace: a shared ".tmp"
             # would let two concurrent stagers interleave writes and
-            # rename a corrupt file into the content-addressed dir
-            fd, tmp = tempfile.mkstemp(dir=stage_dir, suffix=".tmp")
+            # rename a corrupt file into the content-addressed dir.
+            # The "." prefix keeps the temp file INVISIBLE to Spark's
+            # file listing — with the default "tmp" prefix a stager
+            # killed between mkstemp and cleanup (or caught mid-copy by
+            # a live stream's trigger) leaves a non-parquet file that
+            # FileStreamSource would list and choke on forever
+            fd, tmp = tempfile.mkstemp(dir=stage_dir, prefix=".stage.",
+                                       suffix=".tmp")
             os.close(fd)
             try:
                 shutil.copy2(path, tmp)
@@ -236,10 +247,17 @@ def streaming_pip_join(images: DataFrame, polygons,
     At scale the static polygon cover is the broadcast dimension
     (cells x features), the stream is the fact side; no state store,
     no watermark needed.
+
+    Pin lifecycle: each call pins its OWN prepared polygon frame under
+    a unique tag and never releases earlier calls' pins — a previous
+    call's streaming query may still be running, and unpersisting its
+    static side would silently re-run the per-polygon Arrow decode on
+    every subsequent micro-batch for the rest of that query's life.
+    After stopping the queries, hand the storage memory back with
+    :func:`pyrosm_spark.operators.spatial_join.release_pinned_caches`.
     """
     from pyrosm_spark.operators.spatial_join import (
         _pin,
-        _release_pins,
         point_in_polygon_join,
         wkb_bbox,
         wkb_segment_sets,
@@ -255,6 +273,5 @@ def streaming_pip_join(images: DataFrame, polygons,
             and "_segsets" not in polygons.columns:
         polygons = polygons.withColumn(
             "_segsets", wkb_segment_sets(F.col("geometry")))
-    _release_pins("stream_pip")
-    polygons = _pin("stream_pip", polygons)
+    polygons = _pin(f"stream_pip#{next(_STREAM_PIP_SEQ)}", polygons)
     return point_in_polygon_join(images, polygons, res=res, **kw)

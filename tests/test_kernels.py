@@ -182,6 +182,32 @@ def test_jpeg_stub_raises():
         I.decode_image(b"\xff\xd8\xff", "jpeg")
 
 
+def test_interlaced_png_rejected_explicitly():
+    """A standards-compliant Adam7 PNG must fail with the explicit
+    unsupported-feature ValueError, not an opaque reshape error."""
+    buf = bytearray(I.encode_png(I.synth_pixels(3, 8, 8)))
+    # IHDR payload: sig(8) + len(4) + tag(4) + 12 bytes -> interlace
+    # byte is the 13th payload byte at offset 8 + 8 + 12
+    assert buf[8 + 8 + 12] == 0
+    buf[8 + 8 + 12] = 1
+    with pytest.raises(ValueError, match="interlace"):
+        I.decode_png(bytes(buf))
+
+
+def test_vid_info_error_contract():
+    """Recognized real containers -> NotImplementedError (missing
+    capability); malformed junk -> ValueError (bad data), matching the
+    decode_png/decode_qimg contract for per-row skip loops."""
+    with pytest.raises(NotImplementedError, match="mp4"):
+        I.vid_info(b"\x00\x00\x00\x18ftypisom\x00\x00\x00\x00")
+    with pytest.raises(NotImplementedError, match="avi"):
+        I.vid_info(b"RIFF\x00\x00\x00\x00AVI ")
+    with pytest.raises(ValueError):
+        I.vid_info(b"\x00\x00mp4garbage")
+    with pytest.raises(ValueError):
+        I.vid_info(b"")
+
+
 def test_phash_deterministic_and_distinct():
     a = I.phash64(I.synth_pixels(1, 16, 16))
     b = I.phash64(I.synth_pixels(1, 16, 16))

@@ -145,6 +145,48 @@ def test_layout_sidecar_default_and_mismatch_guard(spark, tmp_path):
     assert scan_spatial(spark, path, bbox=BBOX, res=RES).count() == want
 
 
+def test_clustered_append_layout_mismatch_raises(spark, tmp_path):
+    """mode='append' at a different res must raise, not rewrite the
+    sidecar: re-labeling would make scan_spatial's pushed ranges miss
+    every row keyed at the old res (silent drop, validation passing)."""
+    df = _points(spark, 2_000)
+    path = str(tmp_path / "appendable")
+    write_spatial_clustered(df, path, res=RES, num_files=2)
+    with pytest.raises(ValueError, match="append layout"):
+        write_spatial_clustered(_points(spark, 500), path, res=RES - 3,
+                                num_files=2, mode="append")
+    assert read_layout_meta(path)["res"] == RES  # sidecar untouched
+    # same-layout append is fine and the scan sees both batches
+    write_spatial_clustered(df, path, res=RES, num_files=2, mode="append")
+    want = 2 * df.filter(
+        F.col("lon").between(BBOX[0], BBOX[2])
+        & F.col("lat").between(BBOX[1], BBOX[3])).count()
+    assert scan_spatial(spark, path, bbox=BBOX).count() == want
+
+
+def test_assign_shards_null_order_keys_sort_first(spark):
+    """Rows with a NULL order key (e.g. null lon/lat -> null Morton
+    key) land deterministically at the FRONT of the order (matching
+    the window's nulls-first asc), instead of crashing the bucket
+    histogram or silently falling out of the offsets join."""
+    from pyrosm_spark.sources.layout import assign_shards
+
+    df = _points(spark, 1_000).withColumn(
+        "_zkey",
+        F.when(F.col("id") % 400 == 7, F.lit(None)).otherwise(
+            morton_key(F.col("lon"), F.col("lat"), RES)))
+    got = {r.id: r.shard for r in assign_shards(
+        df, 100, "_zkey", "id", n_buckets=16).collect()}
+    assert len(got) == 1_000  # no dropped rows
+    rows = df.collect()
+    order = sorted(((r["_zkey"] is not None, r["_zkey"], r.id)
+                    for r in rows))
+    want = {i: n // 100 for n, (_, _, i) in enumerate(order)}
+    assert got == want
+    null_ids = [r.id for r in rows if r["_zkey"] is None]
+    assert null_ids and all(got[i] == 0 for i in null_ids)
+
+
 def test_scan_without_sidecar_requires_res(spark, tmp_path):
     df = _points(spark, 1_000).withColumn(
         "_zkey", morton_key(F.col("lon"), F.col("lat"), RES))

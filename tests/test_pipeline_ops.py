@@ -265,7 +265,12 @@ def test_frame_sample_vid1(spark):
 
     rows = [("v1", bytearray(I.synth_video(1, 16, 12, 7))),
             ("v2", bytearray(I.synth_video(2, 8, 8, 3))),
-            ("bad", bytearray(b"\x00\x00mp4garbage"))]
+            # a RECOGNIZED real container (ISO BMFF 'ftyp' at offset 4)
+            # -> NotImplementedError (missing capability)...
+            ("bad", bytearray(b"\x00\x00\x00\x18ftypisom\x00" * 2)),
+            # ...while arbitrary junk is malformed DATA -> ValueError,
+            # the same contract as decode_png/decode_qimg
+            ("junk", bytearray(b"\x00\x00mp4garbage"))]
     df = spark.createDataFrame(rows, "video_id string, bytes binary")
     out = M.frame_sample(df, every_n=3).collect()
     by_vid = {}
@@ -282,6 +287,8 @@ def test_frame_sample_vid1(spark):
     assert sorted(r["frame_idx"] for r in by_vid["v2"]) == [0]
     (bad,) = by_vid["bad"]
     assert not bad["ok"] and "NotImplementedError" in bad["err"]
+    (junk,) = by_vid["junk"]
+    assert not junk["ok"] and "ValueError" in junk["err"]
 
 
 def test_media_null_payloads_degrade_per_row(spark):

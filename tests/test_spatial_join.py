@@ -755,7 +755,7 @@ def test_left_join_pins_matched_once(spark, images, buildings):
 
     j = point_in_polygon_join(images, buildings, res=15, how="left",
                               point_id_col="image_id")
-    assert SJ._PINNED.get("left_union"), "matched frame not pinned"
+    assert SJ._PINNED.get("pip_left"), "matched frame not pinned"
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
     # and the left contract still holds
