@@ -42,8 +42,12 @@ def _validate_bbox(bounding_box):
         return None
     if not isinstance(bounding_box, (list, tuple)):
         raise ValueError(
-            "bounding_box should be a list, Shapely Polygon or a "
-            "Shapely LinearRing.")
+            "bounding_box should be a list or tuple of 4 coordinates "
+            "[minx, miny, maxx, maxy]. Geometry-form bboxes (Shapely "
+            "Polygon / LinearRing, which the reference accepts) are not "
+            "supported by this facade — express the shape as a polygon "
+            "filter via pyrosm_spark.operators.spatial_join."
+            "point_in_polygon_join instead.")
     bb = list(bounding_box)
     if len(bb) != 4:
         raise ValueError(
@@ -57,6 +61,30 @@ def _validate_bbox(bounding_box):
             "Please double-check the order of the coordinates (they may "
             "be swapped/inverted).")
     return (minx, miny, maxx, maxy)
+
+
+def _to_unix_time(timestamp) -> int:
+    """The reference's `get_unix_time` input forms
+    (utils/__init__.py:314-341): an int passes through as unix seconds;
+    a str / datetime / pandas Timestamp parses as UTC. Its 2005-to-now
+    bounds checks are tied to real OSM history and deliberately NOT
+    applied — synthetic worlds use small integer clocks that would
+    always fail them."""
+    if isinstance(timestamp, bool):
+        raise ValueError(f"invalid timestamp {timestamp!r}")
+    if isinstance(timestamp, int):
+        return timestamp
+    import pandas as pd
+
+    try:
+        dt = pd.to_datetime(timestamp, utc=True)
+    except (ValueError, TypeError) as e:
+        raise ValueError(
+            f"could not parse timestamp {timestamp!r}: pass unix "
+            f"seconds (int), an ISO date string, or a datetime") from e
+    if pd.isna(dt):
+        raise ValueError(f"could not parse timestamp {timestamp!r}")
+    return int(dt.value // 1_000_000_000)
 
 
 class OSM:
@@ -106,7 +134,7 @@ class OSM:
         versions at/before the instant, then latest-per-id."""
         if timestamp is None:
             return df
-        ts = int(timestamp)
+        ts = _to_unix_time(timestamp)
         return osm_source.latest_version(osm_source.at_timestamp(df, ts))
 
     def _src(self, timestamp=None):
@@ -162,7 +190,8 @@ class OSM:
         return _get_network(n, w, network_type, custom_filter=custom_filter,
                             bbox=self.bounding_box, with_nodes=nodes,
                             filter_type=filter_type,
-                            keep_refs=self.keep_node_info, **kw)
+                            keep_refs=self.keep_node_info,
+                            keep_metadata=self.keep_metadata, **kw)
 
     def get_buildings(self, custom_filter=None, timestamp=None,
                    tags_to_keep=None, extra_attributes=None) -> DataFrame:
@@ -221,7 +250,8 @@ class OSM:
             keep_metadata=self.keep_metadata,
             custom_filter=custom_filter, bbox=self.bounding_box,
             tag_cols=self._tag_cols(("boundary",), tags_to_keep,
-                                    extra_attributes))
+                                    extra_attributes),
+            keep_refs=self.keep_node_info)
 
     def get_data_by_custom_criteria(
         self,
@@ -300,24 +330,21 @@ class OSM:
                                 if k not in tags_as_columns]
 
         n, w, r = self._src(timestamp)
-        out = L.get_layer(
+        return L.get_layer(
             n, w, r,
             custom_filter=custom_filter,
             filter_type=filter_type,
             keep_all=keep_all,
             include_nodes=keep_nodes,
+            include_ways=keep_ways,
             include_relations=keep_relations,
             bbox=self.bounding_box,
             complete_relations=self.complete_relations,
             tag_cols=tags_as_columns,
             osm_keys=osm_keys_to_keep,
             keep_metadata=self.keep_metadata,
+            keep_refs=self.keep_node_info,
         )
-        if not keep_ways:
-            from pyspark.sql import functions as F
-
-            out = out.filter(F.col("osm_type") != "way")
-        return out
 
     # -- graph export (pyrosm.py:1357-1539) -------------------------------
 

@@ -33,16 +33,20 @@ __all__ = ["available", "get_data", "get_path", "list_downloads",
 
 def _default_synth_dir() -> str:
     """Writable materialization dir. ``PYROSM_SPARK_DATA_DIR`` wins;
-    otherwise ``<repo>/data/synth`` — unless the package was shipped
-    inside an archive (``spark-submit --py-files pyrosm_spark.zip``
-    puts ``__file__`` INSIDE the zip, where nothing is writable), in
-    which case a per-user temp dir is used."""
+    otherwise ``<repo>/data/synth`` when the package runs from a
+    SOURCE CHECKOUT — identified by a repo marker (``.git`` /
+    ``bench.py`` next to the package), not by ``os.path.isdir`` alone:
+    for a pip-installed package three dirnames above ``__file__`` is
+    ``site-packages`` (a real, sometimes root-owned directory), and
+    for ``spark-submit --py-files pyrosm_spark.zip`` it is inside the
+    archive. Both of those fall through to a per-user temp dir."""
     env = os.environ.get("PYROSM_SPARK_DATA_DIR")
     if env:
         return os.path.join(env, "synth")
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    if os.path.isdir(repo):
+    if any(os.path.exists(os.path.join(repo, m))
+           for m in (".git", "bench.py")):
         return os.path.join(repo, "data", "synth")
     import getpass
     import tempfile

@@ -145,8 +145,21 @@ def present_tags(df: DataFrame, tag_cols, tag_source=None) -> DataFrame:
     column stays authoritative. ``tag_source`` (optional) is a cheap
     pre-geometry frame whose ``tags`` column decides key occurrence —
     scanning it avoids executing geometry UDF stages just to count
-    keys."""
+    keys.
+
+    A tag literally keyed ``id`` lands in ``id_tag`` (tagparser.pyx:
+    41-44 — the element-id column must never be clobbered by tag
+    values); any other candidate whose name collides with an existing
+    frame column (``geometry``, ``u``/``v``, a user filter keyed
+    ``tags``...) is skipped — withColumn REPLACES silently, and a
+    mostly-null tag column overwriting a structural column corrupts
+    every downstream join. The tag stays readable from the map."""
+    existing = set(df.columns)
     for k in occurring_keys(
             df if tag_source is None else tag_source, list(tag_cols)):
-        df = df.withColumn(k, F.col("tags")[k])
+        name = "id_tag" if k == "id" else k
+        if name in existing:
+            continue
+        existing.add(name)
+        df = df.withColumn(name, F.col("tags")[k])
     return df

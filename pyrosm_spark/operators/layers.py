@@ -47,6 +47,7 @@ def get_layer(
     filter_type: str = "keep",
     keep_all: bool = False,
     include_nodes: bool = True,
+    include_ways: bool = True,
     include_relations: bool = True,
     bbox: tuple | None = None,
     complete_relations: bool = False,
@@ -65,7 +66,18 @@ def get_layer(
     ``keep_metadata`` (reference default True — its golden frames carry
     ``version``/``timestamp``/``changeset``): False drops the element
     metadata columns, True keeps them on every part (``visible`` is
-    dropped either way: post-filter it is identically true)."""
+    dropped either way: post-filter it is identically true).
+
+    ``include_ways=False`` (the reference's ``keep_ways=False``,
+    pyrosm.py:1019-1185) skips the standalone-way pipeline ENTIRELY —
+    no node-coordinate join, no geometry UDF, and way tags stay out of
+    the occurring-keys scan (so way-only presentation columns never
+    appear, matching the reference). Relation assembly still reads the
+    way table internally for member geometry."""
+    if not (include_nodes or include_ways or include_relations):
+        raise ValueError(
+            "at least one of include_nodes/include_ways/"
+            "include_relations must be True")
     pred = element_filter_column(
         F.col("tags"), custom_filter, osm_keys=osm_keys,
         filter_type=filter_type, keep_all=keep_all,
@@ -115,34 +127,37 @@ def get_layer(
         parts.append(rel_feats.drop(*meta_drop))
 
     # --- standalone ways -------------------------------------------------
-    if bbox is not None:
-        if in_box_way_ids is not None:
-            kept_ways = kept_ways.join(in_box_way_ids, "id", "left_semi")
-        else:
-            kept_ways = ways_in_bbox(kept_ways, nodes, bbox)
-    if member_ids is not None:
-        # J4: ways consumed by a kept relation leave the standalone output
-        kept_ways = kept_ways.join(member_ids, "id", "left_anti")
-    tag_sources.append(kept_ways.select("tags"))
-    w = geom.spread_for_udf(geom.way_coordinates(kept_ways, nodes))
-    w = w.filter(geom.pts_size() >= 2)
-    w = w.withColumn(
-        "_poly",
-        geom.way_is_closed() & geom.closed_way_is_polygon(F.col("tags")),
-    )
-    w = w.withColumn(
-        "geometry", geom.way_geometry_wkb(F.col(geom.PTS_FIELD), F.col("_poly"))
-    )
-    way_feats = (
-        w.filter(F.col("geometry").isNotNull())
-        .withColumn("osm_type", F.lit("way"))
-        .drop(geom.PTS_FIELD, "_poly", *meta_drop)
-    )
-    # keep_refs = the reference's OSM.keep_node_info: way features
-    # expose their ref list as a 'nodes' column (pyrosm.py:185,583)
-    way_feats = (way_feats.withColumnRenamed("refs", "nodes")
-                 if keep_refs else way_feats.drop("refs"))
-    parts.append(way_feats)
+    if include_ways:
+        if bbox is not None:
+            if in_box_way_ids is not None:
+                kept_ways = kept_ways.join(in_box_way_ids, "id", "left_semi")
+            else:
+                kept_ways = ways_in_bbox(kept_ways, nodes, bbox)
+        if member_ids is not None:
+            # J4: ways consumed by a kept relation leave the standalone
+            # output
+            kept_ways = kept_ways.join(member_ids, "id", "left_anti")
+        tag_sources.append(kept_ways.select("tags"))
+        w = geom.spread_for_udf(geom.way_coordinates(kept_ways, nodes))
+        w = w.filter(geom.pts_size() >= 2)
+        w = w.withColumn(
+            "_poly",
+            geom.way_is_closed() & geom.closed_way_is_polygon(F.col("tags")),
+        )
+        w = w.withColumn(
+            "geometry",
+            geom.way_geometry_wkb(F.col(geom.PTS_FIELD), F.col("_poly"))
+        )
+        way_feats = (
+            w.filter(F.col("geometry").isNotNull())
+            .withColumn("osm_type", F.lit("way"))
+            .drop(geom.PTS_FIELD, "_poly", *meta_drop)
+        )
+        # keep_refs = the reference's OSM.keep_node_info: way features
+        # expose their ref list as a 'nodes' column (pyrosm.py:185,583)
+        way_feats = (way_feats.withColumnRenamed("refs", "nodes")
+                     if keep_refs else way_feats.drop("refs"))
+        parts.append(way_feats)
 
     # --- node features ----------------------------------------------------
     if include_nodes:

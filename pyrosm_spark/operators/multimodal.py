@@ -32,6 +32,9 @@ def decode_features(images: DataFrame, sample_ratio: float = 1.0) -> DataFrame:
     subsamples deterministically by image_id hash — the bench-mode
     switch the task brief asks for (exhaustive in tests, sampled in
     bench)."""
+    if not 0.0 < sample_ratio <= 1.0:
+        raise ValueError(
+            f"sample_ratio must be in (0, 1], got {sample_ratio!r}")
 
     def batch_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -114,6 +114,7 @@ def get_network(
     tag_cols=NETWORK_TAG_COLS,
     filter_type: str | None = None,
     keep_refs: bool = False,
+    keep_metadata: bool = True,
 ):
     """Edge list for a travel network.
 
@@ -122,7 +123,14 @@ def get_network(
     where edges are segment-level with ``u``/``v``/``length`` and nodes
     are every endpoint referenced by a kept edge (J9 retention,
     frames.pyx:243-253).
+
+    ``keep_metadata`` mirrors the reference's OSM(keep_metadata=...)
+    on network frames (networks.py:17-20 appends timestamp/changeset/
+    version to the column set only when keep_metadata): False drops
+    the element metadata columns from edges and nodes.
     """
+    meta_drop = ([] if keep_metadata
+                 else ["version", "changeset", "timestamp"])
     w = filter_network_ways(ways, network_type, custom_filter, filter_type)
 
     if bbox is not None:
@@ -147,7 +155,7 @@ def get_network(
         # treats visible as internal-only — it drives history/delete
         # filtering upstream, then leaves the presentation frame).
         # keep_refs mirrors OSM.keep_node_info (pyrosm.py:185,490).
-        edges = edges.drop(geom.PTS_FIELD, "visible")
+        edges = edges.drop(geom.PTS_FIELD, "visible", *meta_drop)
         return (edges.withColumnRenamed("refs", "nodes")
                 if keep_refs else edges.drop("refs"))
 
@@ -178,9 +186,12 @@ def get_network(
         e = e.filter(_segment_intersects_box(F.col("seg"), bbox))
     from pyrosm_spark.functions.distance import segment_length_m
 
+    meta_keep = [c for c in ("version", "timestamp")
+                 if keep_metadata and c in e.columns]
+    refs_keep = ["refs"] if keep_refs else []
     edges = (
         e.select(
-            "id", "tags", "version", "timestamp",
+            "id", "tags", *meta_keep, *refs_keep,
             F.col("seg.u").alias("u"),
             F.col("seg.v").alias("v"),
             segment_length_m(
@@ -195,6 +206,10 @@ def get_network(
         .withColumn("osm_type", F.lit("way"))
     )
     edges = _present_tags(edges, tag_cols, tag_source=wf)
+    if keep_refs:
+        # keep_node_info on the segment path too (pyrosm.py:490 drops
+        # 'nodes' only when keep_node_info is False, nodes=True or not)
+        edges = edges.withColumnRenamed("refs", "nodes")
 
     # J9: node frame keeps every id referenced by kept edges' u/v,
     # even outside a bbox (frames.pyx:243-253 regression #199).
@@ -206,7 +221,7 @@ def get_network(
     nodes_out = nodes.join(endpoint_ids, "id", "left_semi")
     nodes_out = nodes_out.withColumn(
         "geometry", geom.point_geometry_wkb(F.col("lon"), F.col("lat"))
-    ).withColumn("osm_type", F.lit("node")).drop("visible")
+    ).withColumn("osm_type", F.lit("node")).drop("visible", *meta_drop)
     return nodes_out, edges
 
 

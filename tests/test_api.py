@@ -304,3 +304,111 @@ def test_custom_criteria_bracket_filter_fallback_columns(osm):
     # 'oneway' is not a conf.tags layer -> the key itself is the column
     assert "oneway" in out.columns
     assert out.count() > 0
+
+
+def test_timestamp_accepts_str_and_datetime(osm):
+    """The reference's timestamp= accepts int | str | datetime
+    (utils/__init__.py:314-341 get_unix_time parses non-ints via
+    pandas); the facade must not crash on the documented forms."""
+    import datetime
+
+    base = osm.get_data_by_custom_criteria(
+        {"highway": True}, keep_nodes=False, keep_relations=False,
+        timestamp=0)
+    s = osm.get_data_by_custom_criteria(
+        {"highway": True}, keep_nodes=False, keep_relations=False,
+        timestamp="1970-01-01")
+    d = osm.get_data_by_custom_criteria(
+        {"highway": True}, keep_nodes=False, keep_relations=False,
+        timestamp=datetime.datetime(
+            1970, 1, 1, tzinfo=datetime.timezone.utc))
+    assert base.count() == s.count() == d.count()
+    with pytest.raises(ValueError, match="timestamp"):
+        osm.get_data_by_custom_criteria(timestamp="not a date")
+    with pytest.raises(ValueError, match="timestamp"):
+        osm.get_data_by_custom_criteria(timestamp=True)
+
+
+def test_network_keep_metadata_toggle(spark, synth_dir):
+    """keep_metadata=False drops version/timestamp from network frames
+    too (networks.py:17-20 appends them only when keep_metadata), on
+    both the way-level and the segment-level (nodes=True) paths."""
+    meta = {"version", "timestamp", "changeset"}
+    with_m = OSM(spark, synth_dir).get_network("driving")
+    assert {"version", "timestamp"} <= set(with_m.columns)
+    without = OSM(spark, synth_dir, keep_metadata=False)
+    e = without.get_network("driving")
+    assert not (meta & set(e.columns))
+    nodes, edges = without.get_network("driving", nodes=True)
+    assert not (meta & set(edges.columns))
+    assert not (meta & set(nodes.columns))
+    assert e.count() == with_m.count()  # presentation-only toggle
+
+
+def test_keep_node_info_all_paths(spark, synth_dir):
+    """osm.keep_node_info = True must expose the 'nodes' (way-refs)
+    column on EVERY path the reference honors it on (pyrosm.py:185,
+    490, 881, 1203): segment-level network edges, boundaries, and
+    custom-criteria frames."""
+    osm = OSM(spark, synth_dir)
+    osm.keep_node_info = True
+    _, edges = osm.get_network("driving", nodes=True)
+    assert "nodes" in edges.columns
+    seg = edges.filter(F.col("nodes").isNotNull()).first()
+    assert seg is not None and len(seg["nodes"]) >= 2
+    b = osm.get_boundaries()
+    assert "nodes" in b.columns
+    c = osm.get_data_by_custom_criteria(
+        {"highway": True}, keep_nodes=False, keep_relations=False)
+    assert "nodes" in c.columns
+    # and the default stays opt-in everywhere
+    osm2 = OSM(spark, synth_dir)
+    _, edges2 = osm2.get_network("driving", nodes=True)
+    assert "nodes" not in edges2.columns
+
+
+def test_keep_ways_false_pushdown_semantics(osm):
+    """keep_ways=False skips the standalone-way pipeline instead of
+    post-filtering: same rows as before (no way rows, node/relation
+    rows intact), but way-only tag keys no longer create all-null
+    presentation columns (the reference derives columns from the kept
+    elements only)."""
+    full = osm.get_data_by_custom_criteria()
+    no_ways = osm.get_data_by_custom_criteria(keep_ways=False)
+    assert no_ways.filter(F.col("osm_type") == "way").count() == 0
+    want = sorted(
+        (r["osm_type"], r["id"]) for r in full.select("osm_type", "id")
+        .filter(F.col("osm_type") != "way").collect())
+    got = sorted((r["osm_type"], r["id"]) for r in
+                 no_ways.select("osm_type", "id").collect())
+    assert got == want
+    # reference error-shape parity (its message, typo included)
+    with pytest.raises(ValueError, match="At least on"):
+        osm.get_data_by_custom_criteria(
+            keep_nodes=False, keep_ways=False, keep_relations=False)
+
+
+def test_present_tags_id_rename_and_collision_guard(spark):
+    """A tag literally keyed 'id' lands in 'id_tag' (tagparser.pyx:
+    41-44); a tag whose key collides with a structural frame column
+    (geometry) must never clobber it."""
+    from pyrosm_spark.functions.tags import present_tags
+
+    df = spark.createDataFrame(
+        [(1, b"\x01", {"id": "tag-value", "geometry": "oops",
+                       "highway": "residential"})],
+        "id long, geometry binary, tags map<string,string>")
+    out = present_tags(df, ["id", "geometry", "highway"])
+    row = out.first()
+    assert row["id"] == 1                       # element id intact
+    assert row["id_tag"] == "tag-value"         # tag exposed, renamed
+    assert bytes(row["geometry"]) == b"\x01"    # structural col intact
+    assert row["highway"] == "residential"
+
+
+def test_bbox_geometry_form_message(spark, synth_dir):
+    """A non-list bbox (e.g. a Shapely geometry) gets an actionable
+    message pointing at the PIP join, not one that names the passed
+    type as acceptable."""
+    with pytest.raises(ValueError, match="point_in_polygon_join"):
+        OSM(spark, synth_dir, bounding_box=object())

@@ -756,3 +756,16 @@ def test_join_hot_threshold_engages_without_n_blocks(spark, synth_dir):
     got_p = {(r["img_a"], r["img_b"], r["hamming"])
              for r in plain.collect()}
     assert got_b == got_p and got_b
+
+
+def test_decode_features_sample_ratio_validated(spark):
+    """sample_ratio=0 would divide by zero deriving the hash modulus;
+    negative ratios would silently keep every row — both rejected."""
+    import pyrosm_spark.operators.multimodal as M
+
+    df = spark.createDataFrame([("a", None, "png", 0, "")],
+                               "image_id string, bytes binary, fmt string,"
+                               " phash long, caption string")
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="sample_ratio"):
+            M.decode_features(df, sample_ratio=bad)
