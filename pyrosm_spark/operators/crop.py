@@ -26,6 +26,7 @@ def crop_tables(
     ways: DataFrame,
     relations: DataFrame,
     bbox: tuple,
+    pin: bool = False,
 ) -> tuple:
     """Consistent bbox crop -> (nodes, ways, relations) subset.
 
@@ -33,7 +34,18 @@ def crop_tables(
     * nodes: in-box ∪ all refs of kept ways (closure, so every kept way
       remains fully resolvable — crop keeps ways complete)
     * relations: >=1 member that is a kept node or kept way (stage 3)
+
+    ``pin=True`` persists the shared id-set intermediates
+    (kept_way_ids / closure_node_ids). Callers that run MULTIPLE
+    actions over the returned triple (crop_to_dataset writes three
+    tables) must pin, or stages 1+2 of the cascade re-execute from the
+    raw scans once per action — ~3x crop cost at the 100 TB target.
+    The id sets are the small side by construction (bbox-selected);
+    MEMORY_AND_DISK, released by the caller via unpersist or left to
+    LRU eviction.
     """
+    from pyspark import StorageLevel
+
     xmin, ymin, xmax, ymax = bbox
     in_box_ids = nodes.filter(
         F.col("lon").between(xmin, xmax) & F.col("lat").between(ymin, ymax)
@@ -43,6 +55,8 @@ def crop_tables(
     kept_way_ids = (
         refs.join(in_box_ids, "nid", "left_semi").select("wid").distinct()
     )
+    if pin:
+        kept_way_ids = kept_way_ids.persist(StorageLevel.MEMORY_AND_DISK)
     kept_ways = ways.join(
         kept_way_ids.withColumnRenamed("wid", "id"), "id", "left_semi")
 
@@ -51,6 +65,9 @@ def crop_tables(
             refs.join(kept_way_ids, "wid", "left_semi").select("nid"))
         .distinct()
     )
+    if pin:
+        closure_node_ids = closure_node_ids.persist(
+            StorageLevel.MEMORY_AND_DISK)
     kept_nodes = nodes.join(
         closure_node_ids.withColumnRenamed("nid", "id"), "id", "left_semi")
 
@@ -95,18 +112,29 @@ def crop_to_dataset(
 
     import pyarrow.parquet as pq
 
-    n, w, r = crop_tables(nodes, ways, relations, bbox)
+    # three write actions share the cascade's id-set intermediates —
+    # pinned so stages 1+2 execute once, not once per table
+    n, w, r = crop_tables(nodes, ways, relations, bbox, pin=True)
+    local = "://" not in out_dir or out_dir.startswith("file:")
     counts = {}
     for name, df in (("osm_nodes", n), ("osm_ways", w),
                      ("osm_relations", r)):
         path = os.path.join(out_dir, f"{name}.parquet")
         write_table(df, path, fmt="parquet")
-        # manifest counts come from the written footers — counting the
-        # DataFrame would re-execute the whole crop cascade per table
-        counts[name] = sum(
-            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-            for root, _d, fs in os.walk(path) for f in fs
-            if f.endswith(".parquet"))
+        if local:
+            # manifest counts come from the written footers — counting
+            # the DataFrame would re-execute the crop per table
+            counts[name] = sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for root, _d, fs in os.walk(
+                    path[7:] if path.startswith("file:") else path)
+                for f in fs if f.endswith(".parquet"))
+        else:
+            # remote filesystem (hdfs:// s3a:// ...): os.walk over the
+            # driver's POSIX tree would silently report 0 — read the
+            # written footers back through Spark instead (metadata-only
+            # count, no crop re-execution)
+            counts[name] = nodes.sparkSession.read.parquet(path).count()
     return counts
 
 

@@ -39,8 +39,16 @@ def load_osm(spark: SparkSession, data_dir: str, visible_only: bool = True):
     """
     from pyrosm_spark.sources import read_table
 
-    if data_dir.endswith(".pbf") or (
-            os.path.isfile(data_dir) and not data_dir.endswith(".parquet")):
+    if os.path.isfile(data_dir) and not data_dir.endswith(
+            (".pbf", ".parquet")):
+        # the reference's validate_input_file error shape — feeding an
+        # arbitrary file to the blob decoder would die deep in struct/
+        # zlib parsing with an opaque error (utils get_data validation)
+        raise ValueError(
+            f"Input data should be in Protobuf format (*.osm.pbf), "
+            f"got: {data_dir!r}. Pass a .osm.pbf file or a directory "
+            f"of osm_nodes/osm_ways/osm_relations parquet tables.")
+    if data_dir.endswith(".pbf"):
         from pyrosm_spark.sources.pbf import read_pbf
 
         frames = read_pbf(spark, data_dir)

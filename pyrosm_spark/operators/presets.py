@@ -32,7 +32,7 @@ _CYCLE_EXCLUDE_HIGHWAY = [
 
 
 _NETWORK_TYPES = ("walking", "driving", "driving+psv", "driving+service",
-                  "cycling", "all")
+                  "driving_psv", "cycling", "all")
 
 
 def network_filter(network_type: str) -> dict | None:
@@ -46,8 +46,14 @@ def network_filter(network_type: str) -> dict | None:
             + ", ".join(_NETWORK_TYPES))
     network_type = network_type.lower()
     # "driving+service" is the user-facing alias the reference maps to
-    # its psv-inclusive driving filter (pyrosm.py:290-291)
-    if network_type in ("driving", "driving+psv", "driving+service"):
+    # its psv-inclusive driving filter (pyrosm.py:290-291).
+    # "driving_psv" is ALSO in the reference's accepted list (it is the
+    # Conf attribute name, config/__init__.py:97) — there its if-chain
+    # falls through and silently returns the unfiltered all-network, a
+    # bug this engine does not replicate: here it means what it says,
+    # the psv-inclusive driving filter.
+    if network_type in ("driving", "driving+psv", "driving+service",
+                        "driving_psv"):
         f = {
             "area": ["yes"],
             "highway": list(_DRIVE_EXCLUDE_HIGHWAY),

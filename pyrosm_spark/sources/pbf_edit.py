@@ -46,26 +46,50 @@ _RESERVED = {
 }
 
 
+def _render_tag_value(fld: T.StructField) -> F.Column:
+    """The reference's ``_tag_str`` rendering per column type
+    (pbf_writer.py:50-59): booleans become the OSM strings 'yes'/'no';
+    floats render integral values WITHOUT the '.0' (the headline
+    ``edges["maxspeed"] = edges["maxspeed"].fillna(50)`` float column
+    must write '50', not '50.0'); NaN is missing (pbf_writer.py:41-47
+    ``_is_missing``), never the literal string 'NaN'. Exponent
+    formatting of extreme doubles differs between str(float) and
+    Spark's cast (1e-7 vs 1.0E-7) — out of contract for tag values."""
+    v = F.col(fld.name)
+    if isinstance(fld.dataType, T.BooleanType):
+        return F.when(v, F.lit("yes")).when(~v, F.lit("no"))
+    if isinstance(fld.dataType, (T.DoubleType, T.FloatType)):
+        d = v.cast("double")
+        as_long = d.try_cast("long")
+        return F.when(F.isnan(d), F.lit(None).cast("string")).otherwise(
+            F.when((d == F.floor(d)) & as_long.isNotNull()
+                   & (as_long.cast("double") == d),
+                   as_long.cast("string"))
+            .otherwise(d.cast("string")))
+    return v.cast("string")
+
+
 def _tags_from_columns(data: DataFrame) -> F.Column:
-    """Tag map from a feature frame: every non-reserved column
-    stringified (null/empty skipped — ``_is_missing``/``_tag_str``,
-    pbf_writer.py:41-96), merged OVER the frame's ``tags`` MapType
-    column when one exists. The reference's feature frames materialize
-    every tag as a column, so a user edit lands in the column — it
-    must win over the stale map entry (the headline
-    ``edges["maxspeed"] = ...; osm.write_pbf(edges, ...)`` workflow).
-    v1 limitation (same as the reference's edit model): tags can be
-    added/changed, not deleted."""
+    """Tag map from a feature frame: every non-reserved column rendered
+    with the reference's ``_tag_str`` rules (see
+    :func:`_render_tag_value`; null/NaN skipped per ``_is_missing``,
+    empty strings KEPT — the reference keeps them too), merged OVER the
+    frame's ``tags`` MapType column when one exists. The reference's
+    feature frames materialize every tag as a column, so a user edit
+    lands in the column — it must win over the stale map entry (the
+    headline ``edges["maxspeed"] = ...; osm.write_pbf(edges, ...)``
+    workflow). v1 limitation (same as the reference's edit model): tags
+    can be added/changed, not deleted."""
     keys, vals = [], []
     for fld in data.schema.fields:
         if fld.name in _RESERVED or fld.name.startswith("_"):
             continue
         keys.append(F.lit(fld.name))
-        vals.append(F.col(fld.name).cast("string"))
+        vals.append(_render_tag_value(fld))
     overlay = None
     if keys:
         m = F.map_from_arrays(F.array(*keys), F.array(*vals))
-        overlay = F.map_filter(m, lambda k, v: v.isNotNull() & (v != ""))
+        overlay = F.map_filter(m, lambda k, v: v.isNotNull())
     base = None
     if "tags" in data.columns and isinstance(
             data.schema["tags"].dataType, T.MapType):
@@ -114,7 +138,15 @@ def _wkb_coords(geometry: pd.Series) -> pd.DataFrame:
             xs = [float(c) for c in ring[:, 0]]
             ys = [float(c) for c in ring[:, 1]]
         if xs is not None:
-            if all(-180.0 <= x <= 180.0 for x in xs) and all(
+            if not xs:
+                # empty LineString / empty exterior ring: all() over []
+                # is vacuously True and posexplode would then emit zero
+                # rows — a silent drop; raise like the reference's
+                # geom.is_empty check (pbf_writer.py:325-330)
+                rows.append((None, None, None,
+                             "has no (or empty) geometry to synthesize "
+                             "from"))
+            elif all(-180.0 <= x <= 180.0 for x in xs) and all(
                     -90.0 <= y <= 90.0 for y in ys):
                 rows.append((gtype, xs, ys, None))
             else:  # _check_lonlat (pbf_writer.py:254-260)
@@ -140,7 +172,16 @@ def _min_id(df: DataFrame) -> int:
 
 
 def _last_wins_edits(d: DataFrame) -> DataFrame:
-    """(id, _etags) with the LAST frame row winning on duplicate ids."""
+    """(id, _etags) with the LAST frame row winning on duplicate ids.
+
+    'Last' means last in the frame's COLLECT order (partition-major
+    ``_pos`` from monotonically_increasing_id, frozen by the caller's
+    localCheckpoint) — the Spark analogue of the reference iterating
+    pandas rows in order (pbf_writer._collect_edits). For a frame whose
+    plan ends in a scan or a deterministic sort this equals the order
+    the user sees; a frame ending in a shuffle has no defined row order
+    in ANY engine — callers who care which duplicate wins should
+    ``orderBy`` before passing the frame in."""
     w = Window.partitionBy("id").orderBy(F.col("_pos").desc())
     return (d.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).select("id", "_etags"))
@@ -175,13 +216,19 @@ def apply_feature_edits(
         d = d.withColumn("geometry", F.lit(None).cast("binary"))
     # osm_type inference from the WKB type byte (little-endian writer:
     # byte 2 is the low byte of the geometry code) — _infer_osm_type
+    # (pbf_writer.py): Point -> node, LineString/Polygon -> way,
+    # anything else -> None. Multi* must NOT infer 'way': a
+    # relation-sourced MultiPolygon whose id collides with a base way
+    # id would silently edit that unrelated way; with None it routes to
+    # the new-rows path, where _wkb_coords raises the reference's
+    # cannot-synthesize ValueError.
     gcode = F.conv(F.hex(F.substring("geometry", 2, 1)), 16, 10).cast("int")
     d = d.select(
         F.col("id").cast("long").alias("id"),
         F.coalesce(
             F.lower(F.col("osm_type").cast("string")),
-            F.when(F.col("geometry").isNotNull(),
-                   F.when(gcode == G.WKB_POINT, "node").otherwise("way")),
+            F.when(gcode == G.WKB_POINT, "node")
+            .when(gcode.isin(G.WKB_LINESTRING, G.WKB_POLYGON), "way"),
         ).alias("osm_type"),
         _tags_from_columns(d).alias("_etags"),
         F.col("geometry").cast("binary").alias("geometry"),

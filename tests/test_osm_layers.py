@@ -380,3 +380,16 @@ def test_network_matches_oracle_on_fresh_worlds(spark, tmp_path, seed,
     for wid, (_, length) in exp.items():
         assert got[wid] == pytest.approx(length, abs=1.0), wid
     assert len(got) > 10
+
+
+def test_driving_psv_spelling_accepted():
+    """'driving_psv' is in the reference's accepted list (the Conf
+    attribute name); there it silently falls through to the unfiltered
+    network — here it means the psv-inclusive driving filter, same as
+    'driving+psv'/'driving+service'."""
+    from pyrosm_spark.operators.presets import network_filter
+
+    f = network_filter("driving_psv")
+    assert f == network_filter("driving+psv")
+    assert "psv" not in f  # psv-INCLUSIVE: no psv exclude entry
+    assert "psv" in network_filter("driving")

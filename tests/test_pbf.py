@@ -563,15 +563,20 @@ def test_apply_feature_edits_updates_tags(spark, synth_dir):
     nodes, ways, rels = _edit_base(spark, synth_dir)
     wid = int(ways.select("id").first()["id"])
     edit = spark.createDataFrame(
-        [(wid, "way", "30", "residential", None),
-         (wid, "way", "50", "residential", "")],  # last wins; ''=missing
+        [(wid, "way", "30", "residential", None, None),
+         (wid, "way", "50", "residential", "", None)],  # last row wins
         "id long, osm_type string, maxspeed string, highway string, "
-        "name string")
+        "name string, ref string")
     _, w2, _ = apply_feature_edits(nodes, ways, rels, edit)
     tags = w2.filter(F.col("id") == wid).select("tags").first()["tags"]
     assert tags["maxspeed"] == "50"
     assert tags["highway"] == "residential"
-    assert "name" not in tags  # empty string = missing (_is_missing)
+    # the reference KEEPS empty-string tag values (_is_missing('') is
+    # False, _tag_str('') is '' — pbf_writer.py:41-59); only null/NaN
+    # is missing. The codec's string table reserves index 0, so '' is
+    # safe to write.
+    assert tags["name"] == ""
+    assert "ref" not in tags  # null = missing
     # untouched elements keep their tags
     other = w2.filter(F.col("id") != wid).filter(
         F.col("tags").isNotNull()).count()
@@ -828,3 +833,66 @@ def test_adversarial_extremes_roundtrip(spark, tmp_path):
     assert [m["member_id"] for m in rr["members"]] == [big - 1, 1]
     assert rr["members"][0]["member_role"] == "outer"
     assert rr["members"][1]["member_role"] == ""
+
+
+def test_tag_value_rendering_reference_parity(spark, synth_dir):
+    """_tag_str parity (pbf_writer.py:50-59): bool -> 'yes'/'no',
+    integral float -> '50' (not '50.0'), non-integral float -> '30.5',
+    NaN -> missing (never the literal 'NaN' tag)."""
+    from pyrosm_spark.sources.pbf_edit import apply_feature_edits
+
+    nodes, ways, rels = _edit_base(spark, synth_dir)
+    wid = int(ways.select("id").first()["id"])
+    edit = spark.createDataFrame(
+        [(wid, "way", 50.0, 30.5, float("nan"), True, False, 7)],
+        "id long, osm_type string, maxspeed double, width double, "
+        "bad double, oneway boolean, bridge boolean, lanes int")
+    _, w2, _ = apply_feature_edits(nodes, ways, rels, edit)
+    tags = w2.filter(F.col("id") == wid).select("tags").first()["tags"]
+    assert tags["maxspeed"] == "50"
+    assert tags["width"] == "30.5"
+    assert "bad" not in tags
+    assert tags["oneway"] == "yes"
+    assert tags["bridge"] == "no"
+    assert tags["lanes"] == "7"
+
+
+def test_multipolygon_without_osm_type_raises_not_miseidts(spark, synth_dir):
+    """osm_type inference maps ONLY Point/LineString/Polygon
+    (pbf_writer _infer_osm_type); a Multi* row without osm_type must
+    raise the cannot-synthesize error, never silently edit a way whose
+    id collides."""
+    from pyrosm_spark.functions import geometry_np as G
+    from pyrosm_spark.sources.pbf_edit import apply_feature_edits
+
+    nodes, ways, rels = _edit_base(spark, synth_dir)
+    wid = int(ways.select("id").first()["id"])
+    import numpy as np
+    ring = np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)])
+    mp = G.wkb_multipolygon([[ring]])
+    edit = spark.createDataFrame(
+        [(wid, bytearray(mp), "99")],
+        "id long, geometry binary, maxspeed string")
+    with pytest.raises(ValueError, match="MultiPolygon"):
+        n2, w2, r2 = apply_feature_edits(nodes, ways, rels, edit)
+        w2.collect()
+    # and the base way is untouched by the failed edit
+    tags = ways.filter(F.col("id") == wid).select("tags").first()["tags"]
+    assert tags.get("maxspeed") != "99"
+
+
+def test_empty_linestring_geometry_raises(spark, synth_dir):
+    """A zero-coordinate LineString WKB must raise (reference
+    geom.is_empty, pbf_writer.py:325-330), not vanish at posexplode."""
+    import struct
+
+    from pyrosm_spark.sources.pbf_edit import apply_feature_edits
+
+    nodes, ways, rels = _edit_base(spark, synth_dir)
+    empty_ls = struct.pack("<BII", 1, 2, 0)  # little-endian, type 2, n=0
+    edit = spark.createDataFrame(
+        [(None, bytearray(empty_ls), "x")],
+        "id long, geometry binary, name string")
+    with pytest.raises(ValueError, match="no .or empty. geometry"):
+        n2, w2, r2 = apply_feature_edits(nodes, ways, rels, edit)
+        w2.collect()

@@ -234,3 +234,14 @@ def test_geoparquet_append_preserves_existing_footers(spark, tmp_path):
         assert got == expect
     # whole dataset still readable
     assert spark.read.parquet(out).count() == 10
+
+
+def test_load_osm_rejects_non_pbf_file(spark, tmp_path):
+    """An arbitrary existing file must raise the reference's explicit
+    Protobuf-format error, not die deep in blob decoding."""
+    from pyrosm_spark.operators.osm_source import load_osm
+
+    p = tmp_path / "world.osm"
+    p.write_text("<osm/>")
+    with pytest.raises(ValueError, match="Protobuf format"):
+        load_osm(spark, str(p))
