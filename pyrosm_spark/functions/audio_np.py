@@ -39,7 +39,7 @@ def decode_audio(buf: bytes, fmt: str, n_channels: int = 1) -> np.ndarray:
         if nch < 1:
             raise ValueError(f"invalid n_channels {n_channels!r}")
         flat = np.frombuffer(buf, dtype="<i2").astype(np.float64) / 32767.0
-        return flat.reshape(-1, max(nch, 1))
+        return flat.reshape(-1, nch)  # nch >= 1 guaranteed above
     raise NotImplementedError(
         f"audio format {fmt!r} requires a codec library absent from this "
         "container; only raw 'pcm16' decodes here")

@@ -134,7 +134,9 @@ def generate_images_table(
             }
         )
 
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    d = os.path.dirname(out_path)
+    if d:  # bare relative filename has no dir component (audio.py too)
+        os.makedirs(d, exist_ok=True)
     if rows_per_file and n_rows > rows_per_file:
         # multi-file layout: input splits for free (a single big file
         # caps scan parallelism at its row-group granularity); one
@@ -218,7 +220,9 @@ def generate_videos_table(out_path: str, n_rows: int = 50,
         "frame_phashes": pa.array(fphs, pa.list_(pa.int64())),
         "caption": pa.array(caps, pa.string()),
     })
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    d = os.path.dirname(out_path)
+    if d:  # bare relative filename has no dir component (audio.py too)
+        os.makedirs(d, exist_ok=True)
     pq.write_table(table, out_path)
     return out_path
 

@@ -188,8 +188,12 @@ def _build_street_grid(w: _World, grid: int):
         elif m10 == 7:
             tags["psv"] = "yes" if variant % 2 else "no"
         elif m10 == 8:
-            tags["maxspeed"] = str([30, 40, 50, 60, 80, 100][k % 6])
-            tags["lanes"] = str(1 + k % 4)
+            # index by `variant`, NOT k: k%10==8 forces k even, so
+            # k%6 / k%4 would only ever hit even indices (dead
+            # variants 40/60/100 and lanes 2/4 — the correlated-gate
+            # bug class this block's siblings already avoid)
+            tags["maxspeed"] = str([30, 40, 50, 60, 80, 100][variant % 6])
+            tags["lanes"] = str(1 + variant % 4)
         if k % 13 == 0:
             tags["name"] = f"Street {k}"
         if k % 17 == 0:
@@ -279,13 +283,16 @@ def _build_pois(w: _World, grid: int):
         lon = rng.uniform(LON_MIN + 0.01, LON_MAX - 0.01)
         lat = rng.uniform(LAT_MIN + 0.005, LAT_MAX - 0.005)
         tags = {}
-        m = p % 4
+        # index by p//4, not p: the m == p%4 gate pins p's parity, so
+        # p%len(list) would reach only even (amenity) / odd-aligned
+        # (shop) indices — half the declared values would never exist
+        m, pv = p % 4, p // 4
         if m == 0:
-            tags["amenity"] = AMENITIES[p % len(AMENITIES)]
+            tags["amenity"] = AMENITIES[pv % len(AMENITIES)]
         elif m == 1:
-            tags["shop"] = SHOPS[p % len(SHOPS)]
+            tags["shop"] = SHOPS[pv % len(SHOPS)]
         elif m == 2:
-            tags["tourism"] = ["hotel", "museum", "viewpoint"][p % 3]
+            tags["tourism"] = ["hotel", "museum", "viewpoint"][pv % 3]
         else:
             tags["natural"] = "tree"
         if p % 5 == 0:
