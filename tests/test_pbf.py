@@ -896,3 +896,35 @@ def test_empty_linestring_geometry_raises(spark, synth_dir):
     with pytest.raises(ValueError, match="no .or empty. geometry"):
         n2, w2, r2 = apply_feature_edits(nodes, ways, rels, edit)
         w2.collect()
+
+
+def test_tag_value_rendering_property(spark, synth_dir):
+    """Property: the Catalyst tag-value renderer equals the reference's
+    _tag_str / _is_missing (pbf_writer.py:41-59) on a value sweep —
+    bools, ints, integral/non-integral/NaN doubles, strings."""
+    from pyrosm_spark.sources.pbf_edit import apply_feature_edits
+
+    def ref_tag_str(v):  # the reference's rule, pure python
+        if v is None or (isinstance(v, float) and v != v):
+            return None  # _is_missing
+        if isinstance(v, bool):
+            return "yes" if v else "no"
+        if isinstance(v, float):
+            return str(int(v)) if v.is_integer() else str(v)
+        if isinstance(v, int):
+            return str(int(v))
+        return str(v)
+
+    doubles = [0.0, -0.0, 1.0, -17.0, 50.0, 30.5, -0.25, 123456789.0,
+               0.1, float("nan"), 2.0**31, 1e15, None]
+    nodes, ways, rels = _edit_base(spark, synth_dir)
+    wids = [int(r["id"]) for r in ways.select("id").limit(
+        len(doubles)).collect()]
+    rows = [(wid, "way", d) for wid, d in zip(wids, doubles)]
+    edit = spark.createDataFrame(rows,
+                                 "id long, osm_type string, x double")
+    _, w2, _ = apply_feature_edits(nodes, ways, rels, edit)
+    got = {r["id"]: (r["tags"] or {}).get("x")
+           for r in w2.filter(F.col("id").isin(wids)).collect()}
+    for wid, d in zip(wids, doubles):
+        assert got[wid] == ref_tag_str(d), (d, got[wid], ref_tag_str(d))
