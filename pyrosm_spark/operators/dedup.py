@@ -58,9 +58,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     h = F.md5(F.col(text_col))
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("content_hash")
+    # NULL text (failed fetch/decode poison rows) must NOT collapse
+    # into one giant duplicate cluster: md5(NULL) is NULL and
+    # partitionBy groups NULLs together, so 1000 unrelated broken rows
+    # would elect one canonical and drop the rest. Each NULL-text row
+    # is its own singleton cluster — keyed by a non-hex-prefixed id so
+    # it can never collide with a real 32-hex digest (this also removes
+    # the one-hot-partition skew a big NULL group would create).
+    key = F.coalesce(h, F.concat(F.lit("null:"),
+                                 F.col(id_col).cast("string")))
+    w = W.partitionBy("_k")
     return (
         docs.withColumn("content_hash", h)
+        .withColumn("_k", key)
         .withColumn("canonical_id", F.min(id_col).over(w))
         .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
         .select(id_col, "content_hash", "canonical_id", "is_duplicate")
@@ -68,10 +78,12 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def exact_dedup_sql(table: str = "documents") -> str:
+    # coalesce mirror of the engine's NULL-text singleton rule
+    k = "coalesce(md5(text), 'null:' || CAST(doc_id AS VARCHAR))"
     return f"""
         SELECT doc_id, md5(text) AS content_hash,
-               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
-               doc_id != min(doc_id) OVER (PARTITION BY md5(text))
+               min(doc_id) OVER (PARTITION BY {k}) AS canonical_id,
+               doc_id != min(doc_id) OVER (PARTITION BY {k})
                    AS is_duplicate
         FROM {table}
     """
@@ -157,7 +169,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     sets of each surviving candidate pair, so emitted values are
     identical to the uncapped form. ``max_df=None`` disables the cap.
     """
-    sh = _shingle_rows(docs, text_col, id_col, n)
+    # the tokenize+zip+explode+dropDuplicates subtree feeds SIX plan
+    # arms (size agg, hot-df agg, both self-join sides, the two
+    # full-set recount joins) — materialize it once per action, the
+    # same hazard banded_self_pairs localCheckpoints against
+    sh = _shingle_rows(docs, text_col, id_col, n).localCheckpoint()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     if max_df is not None:
         hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
@@ -522,7 +538,17 @@ def simhash64(text: pd.Series) -> pd.Series:
             continue
         idx = np.fromiter((vocab[w] for w in toks), dtype=np.int64,
                           count=len(toks))
-        acc = pm[idx].sum(axis=0)
+        # NOT pm[idx].sum(axis=0): that fancy-index materializes a
+        # (tokens x 64) int64 copy — 512 B per token OCCURRENCE, ~5 GB
+        # for one 10M-token concatenated-dump poison row. Weighted sum
+        # over the doc's UNIQUE tokens instead (identical integer
+        # result), chunked so the transient stays < ~130 MB.
+        u, c = np.unique(idx, return_counts=True)
+        acc = np.zeros(64, dtype=np.int64)
+        step = 1 << 18
+        for s in range(0, len(u), step):
+            acc += (c[s:s + step, None]
+                    * pm[u[s:s + step]]).sum(axis=0)
         bits = (acc > 0).astype(np.uint64)
         val = int((bits << shifts).sum(dtype=np.uint64))
         if val >= 1 << 63:

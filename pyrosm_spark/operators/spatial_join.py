@@ -20,6 +20,8 @@ pandas-UDF refine as a differential cross-check.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -33,6 +35,7 @@ from pyrosm_spark.functions.tiles import _RES_SHIFT, _X_SHIFT  # noqa: F401
 
 
 _PINNED: dict[str, list] = {}
+_PINNED_LOCK = threading.Lock()
 
 
 def _pin(tag: str, df: DataFrame) -> DataFrame:
@@ -43,13 +46,25 @@ def _pin(tag: str, df: DataFrame) -> DataFrame:
     PIP/kNN call in a long-lived session pins a fresh
     MEMORY_AND_DISK entry forever (storage-memory churn at scale).
     A previously returned DataFrame stays CORRECT after its pins are
-    released — its plan simply recomputes instead of reading cache."""
-    _PINNED.setdefault(tag, []).append(df.persist())
+    released — its plan simply recomputes instead of reading cache.
+
+    The registry itself is lock-guarded so racing calls can't lose a
+    pin (an interleaved setdefault/pop would leave a persisted frame
+    unreachable — pinned forever). The LIFECYCLE stays per-operator:
+    two threads running the SAME how='left' operator concurrently
+    still release each other's pins (correct results, cache recompute
+    cost) — give each thread its own operator call or pre-pin the
+    shared side, as streaming_pip_join does with unique tags."""
+    df = df.persist()
+    with _PINNED_LOCK:
+        _PINNED.setdefault(tag, []).append(df)
     return df
 
 
 def _release_pins(tag: str) -> None:
-    for old in _PINNED.pop(tag, []):
+    with _PINNED_LOCK:
+        old_frames = _PINNED.pop(tag, [])
+    for old in old_frames:
         try:
             old.unpersist(blocking=False)
         except Exception:
@@ -109,6 +124,30 @@ def _left_extend_points(points: DataFrame, matched: DataFrame,
         return unmatched
 
     return _left_union(matched, points, point_id_col, extend, op=op)
+
+
+def _bbox_refine(cand: DataFrame, lon_col: str, lat_col: str,
+                 refine: str) -> DataFrame:
+    """Shared candidate bbox-prefilter + exact refine for the uniform
+    and compact PIP joins — ONE definition so the two joins' documented
+    differential equality can't drift (they did once: the left-join
+    single-refine round patched both copies). The internal ``_segsets``
+    decode column is dropped on BOTH refine paths: a caller may
+    pre-decode polygons once and run both refines as a cross-check, and
+    the arrow output leaking ``_segsets`` would break schema parity."""
+    cand = cand.filter(
+        F.col(lon_col).between(F.col("poly_bbox.xmin"),
+                               F.col("poly_bbox.xmax"))
+        & F.col(lat_col).between(F.col("poly_bbox.ymin"),
+                                 F.col("poly_bbox.ymax"))
+    )
+    if refine == "native":
+        return cand.filter(
+            native_pip_predicate(lon_col, lat_col)).drop("_segsets")
+    return cand.filter(
+        point_in_wkb_polygon(F.col(lon_col), F.col(lat_col),
+                             F.col("poly_geometry"))
+    ).drop("_segsets")
 
 
 def _apply_broadcast_dial(side: DataFrame, broadcast_polygons: bool | None):
@@ -589,20 +628,7 @@ def point_in_polygon_join_compact(
         right = right.withColumnRenamed(c, f"poly_{c}")
     right = _apply_broadcast_dial(right, broadcast_polygons)
     cand = pts.join(right, "cell", "inner")
-    cand = cand.filter(
-        F.col(lon_col).between(F.col("poly_bbox.xmin"),
-                               F.col("poly_bbox.xmax"))
-        & F.col(lat_col).between(F.col("poly_bbox.ymin"),
-                                 F.col("poly_bbox.ymax"))
-    )
-    if refine == "native":
-        refined = cand.filter(
-            native_pip_predicate(lon_col, lat_col)).drop("_segsets")
-    else:
-        refined = cand.filter(
-            point_in_wkb_polygon(F.col(lon_col), F.col(lat_col),
-                                 F.col("poly_geometry"))
-        )
+    refined = _bbox_refine(cand, lon_col, lat_col, refine)
     # output-contract parity with the uniform join: 'cell' is the
     # point's OWN res-level tile, not the (possibly coarse) compacted
     # cover cell the equi-join happened to match on. A feature's
@@ -684,23 +710,9 @@ def point_in_polygon_join(
 
     right = _apply_broadcast_dial(cover, broadcast_polygons)
     cand = pts.join(right, keys, "inner")
-    # the rename loop above guarantees poly_-prefixed geometry/bbox
-    # native bbox pre-filter: candidates outside the polygon's bbox never
-    # reach the Arrow refine (cuts Python-bound rows before the UDF)
-    cand = cand.filter(
-        F.col(lon_col).between(F.col("poly_bbox.xmin"),
-                               F.col("poly_bbox.xmax"))
-        & F.col(lat_col).between(F.col("poly_bbox.ymin"),
-                                 F.col("poly_bbox.ymax"))
-    )
-    if refine == "native":
-        refined = cand.filter(
-            native_pip_predicate(lon_col, lat_col)).drop("_segsets")
-    else:
-        refined = cand.filter(
-            point_in_wkb_polygon(F.col(lon_col), F.col(lat_col),
-                                 F.col("poly_geometry"))
-        )
+    # the rename loop above guarantees poly_-prefixed geometry/bbox;
+    # the bbox pre-filter cuts candidates before the exact refine
+    refined = _bbox_refine(cand, lon_col, lat_col, refine)
     if point_salt and point_salt > 1:
         refined = refined.drop("_salt")
     if how == "left":

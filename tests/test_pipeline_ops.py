@@ -769,3 +769,45 @@ def test_decode_features_sample_ratio_validated(spark):
     for bad in (0.0, -0.5, 1.5):
         with pytest.raises(ValueError, match="sample_ratio"):
             M.decode_features(df, sample_ratio=bad)
+
+
+def test_exact_dedup_null_text_singletons(spark):
+    """NULL-text poison rows (failed fetch/decode) must each be their
+    OWN cluster — md5(NULL) is NULL and a naive window would collapse
+    1000 unrelated broken rows into one duplicate group and drop 999."""
+    rows = [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in D.exact_dedup(df).collect()}
+    assert got[2]["is_duplicate"] and got[2]["canonical_id"] == 1
+    for i in (3, 4, 5):
+        assert not got[i]["is_duplicate"], i
+        assert got[i]["canonical_id"] == i
+        assert got[i]["content_hash"] is None
+    # and the SQL oracle mirrors the rule exactly
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(1, 'same'), (2, 'same'), (3, NULL), (4, NULL), "
+                "(5, NULL)) t(doc_id, text)")
+    orc = {r[0]: r for r in con.execute(
+        D.exact_dedup_sql("documents")).fetchall()}
+    for i in (1, 2, 3, 4, 5):
+        assert orc[i][2] == got[i]["canonical_id"], i
+        assert orc[i][3] == got[i]["is_duplicate"], i
+
+
+def test_simhash_long_document_bounded_memory(spark):
+    """A repeated-token mega-document must hash identically to its
+    deduplicated token multiset (the unique+counts accumulation) and
+    not scale memory with token OCCURRENCES."""
+    base = "alpha beta gamma delta epsilon"
+    mega = " ".join([base] * 200_000)  # 1M tokens, 5 unique
+    df = spark.createDataFrame(
+        [(1, mega), (2, base)], "doc_id long, text string")
+    out = {r["doc_id"]: r["sim"] for r in df.select(
+        "doc_id", D.simhash64(F.col("text")).alias("sim")).collect()}
+    # sign(200k * acc) == sign(acc): the repeated doc hashes equal to
+    # one copy when every per-bit accumulator is nonzero (5 odd terms
+    # of +-1 can never sum to 0)
+    assert out[1] == out[2]
