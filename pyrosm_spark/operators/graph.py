@@ -225,9 +225,18 @@ def _canonical_order(pdf: pd.DataFrame) -> pd.DataFrame:
     function of the DATA, not of shuffle partition order. Without this,
     a pass-through node with parallel segments (same endpoints) lets
     pdf row order leak into which copy joins which chain."""
-    return pdf.sort_values(
-        ["su", "sv", "wid", "slen"], kind="mergesort"
-    ).reset_index(drop=True)
+    keys = ["su", "sv", "wid", "slen"]
+    if "sgeom" in pdf.columns:
+        # two segments equal on all four keys can still carry different
+        # coordinates (a way traversing A->B twice via symmetric arcs);
+        # without a geometry tiebreak the stable sort preserves
+        # partition arrival order between them — the exact
+        # nondeterminism this helper exists to remove
+        pdf = pdf.assign(_gkey=[
+            (bytes(g) if g is not None else b"") for g in pdf["sgeom"]])
+        keys = keys + ["_gkey"]
+    out = pdf.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    return out.drop(columns="_gkey") if "_gkey" in out.columns else out
 
 
 def _simplify_from_endpoints(
@@ -290,12 +299,17 @@ def _simplify_from_endpoints(
             used[first_i] = True
             prev, cur = start, first_to
             while cur not in endpoints and cur != start:
-                cands = [(x, i) for x, i in out_adj.get(cur, [])
-                         if not used[i]]
-                if not cands:
+                # NEVER U-turn: the reference walk (graph_simplify.py
+                # _reference_walk) only follows unused out-edges whose
+                # target != prev and BREAKS otherwise (one-way dead
+                # structures / digitization quirks). Falling back onto
+                # a prev-pointing edge here would merge what the
+                # reference emits as separate chains.
+                fwd = [(x, i) for x, i in out_adj.get(cur, [])
+                       if not used[i] and x != prev]
+                if not fwd:
                     break
-                fwd = [t for t in cands if t[0] != prev]
-                x, i = (fwd or cands)[0]
+                x, i = fwd[0]
                 used[i] = True
                 order.append(i)
                 prev, cur = cur, x
@@ -305,17 +319,16 @@ def _simplify_from_endpoints(
             for to, i in out_adj.get(ep, []):
                 if not used[i]:
                     walk(ep, to, i)
-        # endpoint-free rings (every node a clean pass-through) — the
-        # walk starts at the MINIMUM node over all remaining unused
-        # segments (deterministic regardless of partition row order;
-        # the per-first-unused-row start of round 1 leaked pdf order
-        # into the emitted u/v labels). ``remove_rings`` drops only
-        # walks that CLOSE back on their start (true isolated rings,
-        # the OSMnx rule) — leftovers that break early are ordinary
-        # segments the endpoint walks could not reach (e.g. the second
-        # copy of a parallel pair through a pass-through node) and are
-        # always emitted.
-        while not used.all():
+        # Leftover (unvisited) edges: endpoint-free rings plus one-way
+        # structures the endpoint walks could not reach. The reference
+        # walks these ONLY when ``not remove_rings``
+        # (graph_simplify.py:161-164 — its leftover loop is guarded by
+        # the flag), so remove_rings=True drops ALL of them, broken
+        # leftovers included, not just walks that close on their
+        # start. Walk order starts at the MINIMUM remaining node so
+        # the emitted u/v labels are deterministic regardless of
+        # partition row order.
+        while not remove_rings and not used.all():
             rem = np.nonzero(~used)[0]
             rem_nodes = sorted(
                 {pdf["su"].iloc[int(j)] for j in rem}
@@ -335,16 +348,16 @@ def _simplify_from_endpoints(
             used[j] = True
             prev, cur = start, x
             while cur != start:
-                nn = [(y, k) for y, k in out_adj.get(cur, []) if not used[k]]
-                if not nn:
+                # same no-U-turn rule as the endpoint walk
+                fwd = [(y, k) for y, k in out_adj.get(cur, [])
+                       if not used[k] and y != prev]
+                if not fwd:
                     break
-                fwd = [t for t in nn if t[0] != prev]
-                y, k = (fwd or nn)[0]
+                y, k = fwd[0]
                 used[k] = True
                 order.append(k)
                 prev, cur = cur, y
-            if not (remove_rings and cur == start):
-                emit(start, cur, np.array(order))
+            emit(start, cur, np.array(order))
         cols = ["u", "v", "length", "n_segments", "way_ids"]
         cols += [f"{c}_values" for c in edge_attr_cols]
         if with_geom:
@@ -645,8 +658,15 @@ def scc_components(edges: DataFrame, u_col: str = "u",
         canon = out.groupby("scc_local")["node"].transform("min")
         return pd.DataFrame({"node": nodes, "comp": canon})
 
+    # label type follows the node-id type (string image ids for pair
+    # sets, longs for OSM — same contract as connected_components and
+    # scc_components_distributed): a hardcoded long schema would make
+    # THIS auto-dispatch arm crash on exactly the string ids the
+    # distributed arm supports, so the dispatch would not be
+    # "invisible to callers" as documented
+    node_t = edges.schema[u_col].dataType.simpleString()
     return e.groupBy("wcomp").applyInPandas(
-        per_component, schema="node long, comp long")
+        per_component, schema=f"node {node_t}, comp {node_t}")
 
 
 # --------------------------------------------------------------------------

@@ -47,14 +47,20 @@ def cosine_topk(
     Python); ranking is one window. The query side is broadcast so the
     corpus never shuffles — scan-shaped at any corpus size.
     """
+    # zero-norm guard (mirrors lsh_cosine_pairs / dedup): a zero
+    # vector's cosine is 0/0 = NaN, and Spark orders NaN ABOVE every
+    # double in the rank window — one all-zero corpus embedding would
+    # take rank 1 for EVERY query, displacing a real neighbor
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
+    ).withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec")))) \
+     .filter(F.col("qnorm") > 0)
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
+    ).withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec")))) \
+     .filter(F.col("cnorm") > 0)
     qq = F.broadcast(q) if broadcast_queries else q
     scored = (
         c.join(qq, F.col("query_id") != F.col("neighbor_id"))
@@ -112,6 +118,9 @@ def cosine_topk_sql(table: str = "embeddings", k: int = 5,
                    round({cos}, 6) AS cosine
             FROM {table} q JOIN {table} c ON q.vec_id != c.vec_id
             WHERE {query_filter}
+              -- zero-norm guard, mirroring the engine's filters
+              AND list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) > 0
+              AND list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) > 0
         )
         SELECT query_id, neighbor_id, cosine, rank FROM (
             SELECT *, row_number() OVER (
@@ -242,6 +251,9 @@ def ann_lsh_sql(table: str = "embeddings", k: int = 5, dim: int = 64,
             JOIN {table} q ON q.vec_id = cand.query_id
             JOIN {table} c ON c.vec_id = cand.neighbor_id
             WHERE {query_filter}
+              -- zero-norm guard, mirroring the engine's filters
+              AND list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) > 0
+              AND list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) > 0
         )
         SELECT query_id, neighbor_id, cosine, rank FROM (
             SELECT *, row_number() OVER (
@@ -287,16 +299,36 @@ def _hash_prefix_sample(corpus: DataFrame, n_train: int, min_rows: int,
     paths in ``ann_ivf_sql``/``ann_ivfpq_sql``. Falls back to the
     id-ordered corpus head when the sample is thinner than
     ``min_rows`` (tiny corpus), mirrored in the oracle."""
+    return _hash_prefix_samples(corpus, [(n_train, min_rows)],
+                                corpus_id, vec_col)[0]
+
+
+def _hash_prefix_samples(corpus: DataFrame, specs,
+                         corpus_id: str, vec_col: str) -> list:
+    """Multi-take form of :func:`_hash_prefix_sample`: every spec
+    ``(n_train, min_rows)`` is an id-ordered head of the SAME filtered
+    sample frame, so ONE collect sized ``max(n_train)`` serves them all
+    (slices are bit-identical to each spec's standalone collect) — the
+    combined IVF+PQ trainer scans the corpus once, not once per
+    codebook. The tiny-corpus fallback stays per spec."""
     base = corpus.select(F.col(corpus_id).alias("i"),
                          F.col(vec_col).cast("array<double>").alias("v"))
     h = F.pmod(
         F.pmod(F.col("i").cast("long"), F.lit(_IVF_SAMPLE_RING))
         * F.lit(_IVF_SAMPLE_MULT), F.lit(_IVF_SAMPLE_RING))
-    rows = (base.filter(F.pmod(h, F.lit(_IVF_SAMPLE_MOD)) == 0)
-            .orderBy("i").limit(n_train).collect())
-    if len(rows) < min_rows:
-        rows = base.orderBy("i").limit(n_train).collect()
-    return np.array([r["v"] for r in rows], dtype=np.float64)
+    max_n = max(n for n, _m in specs)
+    big = (base.filter(F.pmod(h, F.lit(_IVF_SAMPLE_MOD)) == 0)
+           .orderBy("i").limit(max_n).collect())
+    fallback: list | None = None
+    out = []
+    for n_train, min_rows in specs:
+        rows = big[:n_train]
+        if len(rows) < min_rows:
+            if fallback is None or len(fallback) < n_train:
+                fallback = base.orderBy("i").limit(max_n).collect()
+            rows = fallback[:n_train]
+        out.append(np.array([r["v"] for r in rows], dtype=np.float64))
+    return out
 
 
 def kmeans_codebook(mat: np.ndarray, n_cells: int,
@@ -385,11 +417,13 @@ def ann_topk_ivf(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     ).withColumn("cell", F.element_at(assign1(F.col("cvec")), 1)) \
-     .withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
+     .withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec")))) \
+     .filter(F.col("cnorm") > 0)  # zero-norm guard, see cosine_topk
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
     ).withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec")))) \
+     .filter(F.col("qnorm") > 0) \
      .withColumn("cell", F.explode(assignp(F.col("qvec"))))
     scored = (
         q.join(c, "cell")
@@ -431,11 +465,13 @@ def ann_topk_lsh(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
     ).withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec")))) \
+     .filter(F.col("qnorm") > 0) \
      .withColumn("bucket", F.explode(bucket(F.col("qvec"))))
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     ).withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec")))) \
+     .filter(F.col("cnorm") > 0) \
      .withColumn("bucket", F.explode(bucket(F.col("cvec"))))
     scored = (
         q.join(c, "bucket")
@@ -496,6 +532,9 @@ def ann_ivf_sql(parquet_path: str, table: str = "embeddings", k: int = 5,
             FROM cand
             JOIN {table} q ON q.vec_id = cand.query_id
             JOIN {table} c ON c.vec_id = cand.neighbor_id
+            -- zero-norm guard, mirroring the engine's filters
+            WHERE list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) > 0
+              AND list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) > 0
         )
         SELECT query_id, neighbor_id, cosine, rank FROM (
             SELECT *, row_number() OVER (
@@ -624,10 +663,9 @@ def ann_topk_ivfpq(
         # id-ordered, so each trainer's bounded head is identical to
         # what its standalone call collects
         spc = 256
-        cmat = _hash_prefix_sample(corpus, n_cells * spc, n_cells,
-                                   corpus_id, vec_col)
-        pmat = _hash_prefix_sample(corpus, kc * spc, kc,
-                                   corpus_id, vec_col)
+        cmat, pmat = _hash_prefix_samples(
+            corpus, [(n_cells * spc, n_cells), (kc * spc, kc)],
+            corpus_id, vec_col)
         centroids = kmeans_codebook(cmat, n_cells)
         codebooks = pq_codebooks_from_sample(pmat, m, kc)
     if centroids is None:
@@ -649,7 +687,9 @@ def ann_topk_ivfpq(
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).select(
+    ).filter(_dot(F.col("cvec"), F.col("cvec")) > 0).select(
+        # zero-norm guard (see cosine_topk): a zero corpus vector's
+        # reconstructed ADC norm can reach 0 -> 0/0 NaN at rank 1
         "neighbor_id",
         F.element_at(assign1(F.col("cvec")), 1).alias("cell"),
         encode(F.col("cvec")).alias("codes"),
@@ -657,7 +697,7 @@ def ann_topk_ivfpq(
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).select(
+    ).filter(_dot(F.col("qvec"), F.col("qvec")) > 0).select(
         "query_id",
         F.explode(assignp(F.col("qvec"))).alias("cell"),
         lut(F.col("qvec")).alias("lut"),
@@ -767,6 +807,12 @@ def ann_ivfpq_sql(parquet_path: str, table: str = "embeddings",
             JOIN codes cd ON cd.vec_id = cand.neighbor_id
             JOIN pqc p ON p.sub = cd.sub AND p.code = cd.code
             JOIN {table} q ON q.vec_id = cand.query_id
+            JOIN {table} c ON c.vec_id = cand.neighbor_id
+            -- zero-norm guard, mirroring the engine's filters
+            WHERE list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])) > 0
+              AND list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])) > 0
             GROUP BY cand.query_id, cand.neighbor_id
         )
         SELECT query_id, neighbor_id, cosine, rank FROM (

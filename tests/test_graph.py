@@ -777,26 +777,55 @@ def test_igraph_pandana_constructor_smoke_with_fake_modules(
 # determinism, SCC bound forwarding, streamed union-find finish
 # --------------------------------------------------------------------------
 
-def test_remove_rings_keeps_non_ring_leftovers(spark):
-    """remove_rings must drop ONLY walks that close back on their start
-    (true isolated rings). Leftover segments the endpoint walks could
-    not reach — e.g. parallel copies through a pass-through node — are
-    ordinary street segments and must survive."""
+def test_remove_rings_leftover_semantics_match_reference(spark):
+    """The reference's leftover loop runs ONLY when not remove_rings
+    (graph_simplify.py:161-164): remove_rings=True drops EVERY edge
+    the endpoint walks could not reach — stranded parallel copies
+    through a pass-through included, not just closed rings — while
+    remove_rings=False walks and emits them all."""
     from pyrosm_spark.operators.graph import simplify_directed_chains
 
-    # 7->8, 8->7 (x2, parallel), 8->9: node 8 is a pass-through
-    # (2 distinct nbrs, in+out=4); the walk 7->8->9 strands both 8->7
-    # copies, which are NOT rings.
+    # 7->8, 8->7 (x2, parallel), 8->9: node 8 is a clean pass-through
+    # under the reference's rule 3 (2 distinct nbrs, in+out=4 — the
+    # rule does NOT require in == out); the walk 7->8->9 strands both
+    # 8->7 copies as leftovers.
     rows = [(1, 7, 8, 1.0), (2, 8, 7, 1.0), (3, 8, 7, 1.0),
             (4, 8, 9, 1.0)]
     df = spark.createDataFrame(rows, "id long, u long, v long, "
                                      "length double")
+    dropped = sorted((r["u"], r["v"], tuple(sorted(r["way_ids"])))
+                     for r in simplify_directed_chains(
+                         df, remove_rings=True).collect())
+    assert dropped == [(7, 9, (1, 4))]
+    kept = sorted((r["u"], r["v"], tuple(sorted(r["way_ids"])))
+                  for r in simplify_directed_chains(
+                      df, remove_rings=False).collect())
+    assert (7, 9, (1, 4)) in kept
+    assert (8, 7, (2,)) in kept and (8, 7, (3,)) in kept
+    assert len(kept) == 3
+
+
+def test_directed_walk_never_uturns(spark):
+    """B->P, A->P and parallel one-ways P->A x2: P is a pass-through
+    (2 distinct nbrs, degree 4). The walk entering from A must BREAK
+    at P (every out-edge points back at prev), as the reference walk
+    does — a U-turn fallback would merge reference-separate chains."""
+    from pyrosm_spark.operators.graph import simplify_directed_chains
+
+    A, B, P = 1, 2, 5
+    rows = [(11, A, P, 1.0), (12, B, P, 1.0),
+            (13, P, A, 1.0), (14, P, A, 1.0)]
+    df = spark.createDataFrame(rows, "id long, u long, v long, "
+                                     "length double")
     out = sorted((r["u"], r["v"], tuple(sorted(r["way_ids"])))
                  for r in simplify_directed_chains(
-                     df, remove_rings=True).collect())
-    assert (7, 9, (1, 4)) in out
-    assert (8, 7, (2,)) in out and (8, 7, (3,)) in out
+                     df, remove_rings=False).collect())
+    # reference decomposition: [A->P] (broken at P), [B->P,P->A],
+    # leftover [P->A] — never a 2-segment A->...->A U-turn chain
+    assert (A, P, (11,)) in out
+    assert (B, A, (12, 13)) in out or (B, A, (12, 14)) in out
     assert len(out) == 3
+    assert not any(u == A and v == A for u, v, _w in out)
 
 
 def test_parallel_segments_directed_walk_order_invariant(spark):

@@ -811,3 +811,45 @@ def test_simhash_long_document_bounded_memory(spark):
     # one copy when every per-bit accumulator is nonzero (5 odd terms
     # of +-1 can never sum to 0)
     assert out[1] == out[2]
+
+
+def test_topk_zero_norm_vectors_excluded(spark):
+    """A zero embedding has NaN cosine with everything, and Spark ranks
+    NaN ABOVE every double — one all-zero corpus row would displace a
+    real neighbor from every query's top-k. All four top-k paths must
+    exclude zero-norm rows on both sides."""
+    import pyrosm_spark.operators.similarity as S
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+            (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.cosine_topk(df, df, k=2).collect()
+    assert all(r["neighbor_id"] != 3 for r in out)
+    assert all(r["query_id"] != 3 for r in out)
+    assert not any(r["cosine"] != r["cosine"] for r in out)  # no NaN
+    top = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert top[0] == 1 and top[1] == 0
+    lsh = S.ann_topk_lsh(df, df, k=2, dim=2).collect()
+    assert all(r["neighbor_id"] != 3 and r["query_id"] != 3 for r in lsh)
+    ivf = S.ann_topk_ivf(df, df, k=2, n_cells=2, dim=2).collect()
+    assert all(r["neighbor_id"] != 3 and r["query_id"] != 3 for r in ivf)
+
+
+def test_scc_auto_dispatch_string_ids(spark):
+    """scc_components' Tarjan arm must handle string node ids exactly
+    like the distributed arm (the dispatch is documented as invisible
+    to callers, and connected_components warns never to hardcode
+    long)."""
+    from pyrosm_spark.operators.graph import (
+        scc_components,
+        scc_components_distributed,
+    )
+
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(rows, "u string, v string")
+    tarjan = {r["node"]: r["comp"] for r in scc_components(df).collect()}
+    dist = {r["node"]: r["comp"] for r in
+            scc_components_distributed(df).collect()}
+    assert tarjan == dist
+    assert tarjan["a"] == tarjan["b"] == tarjan["c"] == "a"
+    assert tarjan["d"] == "d" and tarjan["e"] == "e"
