@@ -263,7 +263,7 @@ def line_merge(lines: list) -> list:
                 cur = chain[-1] if direction == 1 else chain[0]
                 pt = _key(cur[-1]) if direction == 1 else _key(cur[0])
                 cands = [(j, e) for (j, e) in endpoints.get(pt, []) if not used[j]]
-                if len([x for x in endpoints.get(pt, [])]) != 2 or len(cands) != 1:
+                if len(endpoints.get(pt, ())) != 2 or len(cands) != 1:
                     break
                 j, e = cands[0]
                 nxt = lines[j]
@@ -316,34 +316,60 @@ def ring_self_intersections(ring: np.ndarray):
     a = r
     b = np.roll(r, -1, axis=0)
     d = b - a  # edge vectors
-    # pairwise: denom[i, j] = cross(d_i, d_j)
-    denom = d[:, 0][:, None] * d[:, 1][None, :] - \
-        d[:, 1][:, None] * d[:, 0][None, :]
-    dax = a[None, :, 0] - a[:, None, 0]  # a_j - a_i (x)
-    day = a[None, :, 1] - a[:, None, 1]
-    # over="ignore": near-parallel edges make denom tiny and t/u huge;
-    # those are rejected by the 0<t<1 bounds below, so the overflow is
-    # benign and must not warn from worker tasks
-    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
-        t = (dax * d[None, :, 1] - day * d[None, :, 0]) / denom
-        u = (dax * d[:, None, 1] - day * d[:, None, 0]) / denom
-    i_idx, j_idx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
-    adjacent = (
-        (i_idx == j_idx)
-        | ((i_idx + 1) % n == j_idx)
-        | ((j_idx + 1) % n == i_idx)
-    )
-    proper = (
-        ~adjacent & (denom != 0)
-        & (t > 0) & (t < 1) & (u > 0) & (u < 1) & (i_idx < j_idx)
-    )
     out: dict = {}
-    for i, j in zip(*np.nonzero(proper)):
-        px = float(a[i, 0] + t[i, j] * d[i, 0])
-        py = float(a[i, 1] + t[i, j] * d[i, 1])
-        pt = (px, py)
-        out.setdefault(int(i), []).append((float(t[i, j]), pt))
-        out.setdefault(int(j), []).append((float(u[i, j]), pt))
+    j_idx = np.arange(n)
+    # chunk the i axis: the dense n x n formulation allocates ~9
+    # float64 arrays — 180 GB for a 50k-vertex coastline ring — so
+    # memory must stay O(chunk * n) (full vectorization preserved
+    # inside each block; results identical to the dense form)
+    chunk = max(1, min(n, (1 << 22) // max(n, 1) or 1))
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        i_idx = np.arange(s, e)
+        # denom[i, j] = cross(d_i, d_j)
+        denom = (d[s:e, 0][:, None] * d[None, :, 1]
+                 - d[s:e, 1][:, None] * d[None, :, 0])
+        dax = a[None, :, 0] - a[s:e, None, 0]  # a_j - a_i (x)
+        day = a[None, :, 1] - a[s:e, None, 1]
+        # over="ignore": near-parallel edges make denom tiny and t/u
+        # huge; those are rejected by the 0<t<1 bounds below, so the
+        # overflow is benign and must not warn from worker tasks
+        with np.errstate(divide="ignore", invalid="ignore",
+                         over="ignore"):
+            t = (dax * d[None, :, 1] - day * d[None, :, 0]) / denom
+            u = (dax * d[s:e, None, 1] - day * d[s:e, None, 0]) / denom
+        ii = i_idx[:, None]
+        adjacent = (
+            (ii == j_idx[None, :])
+            | ((ii + 1) % n == j_idx[None, :])
+            | ((j_idx[None, :] + 1) % n == ii)
+        )
+        base = ~adjacent & (denom != 0) & (t > 0) & (t < 1)
+        proper = base & (u > 0) & (u < 1) & (ii < j_idx[None, :])
+        for bi, j in zip(*np.nonzero(proper)):
+            i = int(i_idx[bi])
+            px = float(a[i, 0] + t[bi, j] * d[i, 0])
+            py = float(a[i, 1] + t[bi, j] * d[i, 1])
+            pt = (px, py)
+            out.setdefault(i, []).append((float(t[bi, j]), pt))
+            out.setdefault(int(j), []).append((float(u[bi, j]), pt))
+        # vertex-on-edge self-touch: a vertex of edge j (u exactly 0
+        # or 1) lying in the INTERIOR of non-adjacent edge i. GEOS
+        # calls such pinched rings invalid and the reference repairs
+        # them (geometry.pyx buffer(0)); with only the strict-interior
+        # bounds above they classified simple and passed through
+        # unrepaired. Registered on edge i ONLY, and with the
+        # VERTEX's exact coordinates (not the parametric point, which
+        # can differ in the last ulp), so the noded walk revisits the
+        # bit-identical point and pops the pinched lobe. No i<j
+        # constraint: the roles are asymmetric, each ordered pair is
+        # its own case.
+        touch = base & ((u == 0) | (u == 1))
+        for bi, j in zip(*np.nonzero(touch)):
+            i = int(i_idx[bi])
+            vj = int(j) if u[bi, j] == 0 else (int(j) + 1) % n
+            pt = (float(a[vj, 0]), float(a[vj, 1]))
+            out.setdefault(i, []).append((float(t[bi, j]), pt))
     return out
 
 
@@ -437,6 +463,21 @@ def fix_ring(ring: np.ndarray, diff_threshold: float = 20.0,
     return [ring]
 
 
+def _canonical_ring_key(r: np.ndarray) -> tuple:
+    """Rotation- and direction-invariant identity of a ring: the
+    lexicographically smallest rotation of its open vertex sequence,
+    over both directions. Two member ways tracing the same ring —
+    regardless of start vertex or winding — get the same key."""
+    c = r[:-1] if is_closed_ring(r) else r
+    pts = [(float(p[0]), float(p[1])) for p in c]
+
+    def best(seq):
+        k = min(range(len(seq)), key=lambda i: seq[i])
+        return tuple(seq[k:] + seq[:k])
+
+    return min(best(pts), best(list(reversed(pts))))
+
+
 def assemble_multipolygon(member_lines: list):
     """OSM multipolygon assembly by geometry, not member role.
 
@@ -460,6 +501,17 @@ def assemble_multipolygon(member_lines: list):
     rings = [r for r in line_merge(member_lines) if is_closed_ring(r)]
     rings = [f for r in rings for f in fix_ring(r)]
     rings = [r for r in rings if abs(signed_area(r)) > 0.0]
+    # XOR multiplicity of COINCIDENT rings (duplicated member geometry
+    # in the source data): the reference's reduce(symmetric_difference)
+    # cancels identical rings pairwise — ring XOR ring = empty — so an
+    # even multiplicity contributes NOTHING and an odd one contributes
+    # once. ring_contains_ring deliberately returns False for
+    # coincident rings, so without this they'd all count depth 0 and
+    # stack as duplicate shells, violating the even-odd contract.
+    by_key: dict = {}
+    for r in rings:
+        by_key.setdefault(_canonical_ring_key(r), []).append(r)
+    rings = [grp[0] for grp in by_key.values() if len(grp) % 2 == 1]
     if not rings:
         return None
 

@@ -95,9 +95,16 @@ def way_is_closed(refs: Column = None) -> Column:
     coordinates (geometry.pyx:508), so a ring whose middle node is
     missing/deleted still *decides* polygon (construction may then
     fail and drop the row, matching the reference's None-geometry
-    path)."""
+    path).
+
+    No minimum-size gate beyond 2: the reference decides polygon on
+    first==last ALONE, so a raw 3-ref closed way [A, B, A] takes the
+    polygon path (building the same padded sliver its goldens count)
+    and [A, A] takes it too (the <3-resolved-vertices rule then drops
+    it) — a >=4 gate here would emit LineString rows the reference
+    never produces for those ways."""
     r = refs if refs is not None else F.col("refs")
-    return (F.size(r) >= 4) & (
+    return (F.size(r) >= 2) & (
         F.element_at(r, 1) == F.element_at(r, -1)
     )
 
@@ -234,21 +241,20 @@ def _way_wkb_from_arrays(lons: pd.Series, lats: pd.Series,
     # cancel to ~1e-11 float noise, translated ones to ~1e-19, so the
     # degeneracy threshold below cleanly separates noise from any
     # real ring (a 10 cm feature is ~1e-12 deg^2).
-    valid = lens >= 2
+    # the keep>=2 compaction above guarantees every row here has at
+    # least 2 points, so no width-0/1 reduceat windows can occur
     first_i, last_i = off[:-1].clip(max=max(total - 1, 0)), off[1:] - 1
     xt = x - np.repeat(x[first_i], lens)
     yt = y - np.repeat(y[first_i], lens)
-    starts = off[:-1].clip(max=max(total - 1, 0))
     if total > 1:
         terms = xt[:-1] * yt[1:] - xt[1:] * yt[:-1]
-        seg_sum = np.add.reduceat(terms, starts)
+        seg_sum = np.add.reduceat(terms, first_i)
         # reduceat windows run to the next start: subtract the term that
         # crosses the row boundary (absent for the final row)
         cross = np.zeros(n_rows)
         cross[:-1] = terms[(off[1:-1] - 1).clip(min=0)]
-        single = lens <= 1  # windows of width 0/1 are meaningless
-        seg_sum = np.where(single, 0.0, seg_sum - np.where(
-            np.arange(n_rows) < n_rows - 1, cross, 0.0))
+        seg_sum = seg_sum - np.where(
+            np.arange(n_rows) < n_rows - 1, cross, 0.0)
     else:
         seg_sum = np.zeros(n_rows)
     # the last->first closure term is identically 0 in translated

@@ -182,17 +182,33 @@ def assemble_relations(
                 .agg(F.sum("_n_refs")).first()[0]
             )
             broadcast_members = (refs_total or 0) <= _BROADCAST_REFS_PROBE
-    m = F.broadcast(members) if broadcast_members else members
-    member_ways = m.join(
-        ways.select(F.col("id").alias("way_id"), "refs"), "way_id", "inner"
-    )
+    # Resolve each DISTINCT member way's coordinates ONCE: a way
+    # shared by k kept relations has k (rel_id, way_id) member rows,
+    # and exploding refs per member row would make way_coordinates'
+    # groupBy(way_id) collect every vertex k times — handing k-fold
+    # duplicated pts (wrong MultiLineString WKB; multipolygons only
+    # survived because fix_ring's polygonize dedupes) to all k rows,
+    # and inflating the broadcast payload past what the refs_total
+    # probe above bounded. The reference resolves per way too (its
+    # node-index lookup is keyed by the way).
+    uniq_ids = members.select("way_id").distinct()
+    uniq_ways = ways.select(F.col("id").alias("way_id"), "refs").join(
+        F.broadcast(uniq_ids) if broadcast_members else uniq_ids,
+        "way_id", "left_semi")
     with_pts = geom.spread_for_udf(geom.way_coordinates(
-        member_ways.withColumnRenamed("way_id", "id"), nodes,
+        uniq_ways.withColumnRenamed("way_id", "id"), nodes,
         broadcast_ways=broadcast_members,
     ).filter(geom.pts_size() >= 2))
-    member_lines = with_pts.withColumn(
-        "_line", geom.way_geometry_wkb(F.col(geom.PTS_FIELD), F.lit(False))
+    way_lines = with_pts.select(
+        F.col("id").alias("way_id"),
+        geom.way_geometry_wkb(F.col(geom.PTS_FIELD), F.lit(False))
+        .alias("_line"),
     )
+    m = members
+    member_lines = m.join(
+        F.broadcast(way_lines) if broadcast_members else way_lines,
+        "way_id", "inner",
+    ).withColumnRenamed("way_id", "id")
     # The reference assembles by geometry, order-independent (#21) —
     # sort members by way id for a deterministic collect_list.
     per_rel = (
