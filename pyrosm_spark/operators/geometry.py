@@ -285,9 +285,6 @@ def _way_wkb_from_arrays(lons: pd.Series, lats: pd.Series,
     hdr_poly = struct.pack("<BII", 1, G.WKB_POLYGON, 1)
     out = []
     for i in range(n_rows):
-        if not valid[i]:
-            out.append(None)
-            continue
         s, e = off[i], off[i + 1]
         if not poly_flags[i]:
             out.append(hdr_line + struct.pack("<I", int(lens[i]))
