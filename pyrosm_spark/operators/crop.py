@@ -107,6 +107,7 @@ def crop_to_dataset(
     everything up to the container format is the same operation.
     """
     import os
+    from urllib.parse import urlparse
 
     from pyrosm_spark.sources.table import write_table
 
@@ -124,10 +125,14 @@ def crop_to_dataset(
         if local:
             # manifest counts come from the written footers — counting
             # the DataFrame would re-execute the crop per table
+            # file: URIs come in single- (file:/dir) and double-slash
+            # (file:///dir) forms — urlparse handles both; a fixed
+            # slice would mangle one of them into a 0-count walk
+            walk_root = (urlparse(path).path if path.startswith("file:")
+                         else path)
             counts[name] = sum(
                 pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-                for root, _d, fs in os.walk(
-                    path[7:] if path.startswith("file:") else path)
+                for root, _d, fs in os.walk(walk_root)
                 for f in fs if f.endswith(".parquet"))
         else:
             # remote filesystem (hdfs:// s3a:// ...): os.walk over the

@@ -186,7 +186,7 @@ def get_network(
         e = e.filter(_segment_intersects_box(F.col("seg"), bbox))
     from pyrosm_spark.functions.distance import segment_length_m
 
-    meta_keep = [c for c in ("version", "timestamp")
+    meta_keep = [c for c in ("version", "timestamp", "changeset")
                  if keep_metadata and c in e.columns]
     refs_keep = ["refs"] if keep_refs else []
     edges = (
