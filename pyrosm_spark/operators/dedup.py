@@ -110,8 +110,18 @@ def _shingle_rows(docs: DataFrame, text_col: str, id_col: str,
     """
     nshuf = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                            "32"))
-    toks = docs.select(F.col(id_col).alias("doc"),
-                       tokens_col(F.col(text_col)).alias("_toks"))
+    # The tokenize projection runs BELOW the doc exchange, i.e. in the
+    # input-scan stage. A small corpus file is one row group = one
+    # split, so the regex tokenizer would run in ONE task no matter the
+    # core count (measured: the serial term capping 2->8-core scaling
+    # at 1.15x). Spreading the raw text first costs one cheap shuffle
+    # of the smallest representation and is a no-op on wide inputs.
+    raw = _ensure_parallelism(
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col)), "doc")
+    toks = raw.select("doc", tokens_col(F.col(text_col)).alias("_toks"))
+    # exchange ABOVE tokenize: the stage boundary stops CollapseProject
+    # from inlining split+regex into every gram slice (measured ~3x),
+    # and doc-partitioning lets minhash's groupBy(doc) skip its shuffle
     toks = toks.repartition(nshuf, "doc")
     t = F.col("_toks")
     g = F.size(t) - (n - 1)
