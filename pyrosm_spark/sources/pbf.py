@@ -746,7 +746,7 @@ def read_pbf(spark, path: str, partitions: int | None = None):
 
 
 def write_pbf(nodes, ways, relations, path: str,
-              block_size: int = 8000) -> dict:
+              block_size: int = 8000, partitions: int | None = None) -> dict:
     """Write (nodes, ways, relations) DataFrames as a single .osm.pbf.
 
     Encoding is distributed: each partition emits framed blobs (id-range
@@ -754,7 +754,16 @@ def write_pbf(nodes, ways, relations, path: str,
     convention readers expect); the driver streams blobs to disk in
     partition order via ``toLocalIterator`` — never holding more than
     one blob. Returns {'nodes': n, 'ways': n, 'relations': n, 'blobs':
-    n}."""
+    n}.
+
+    ``partitions`` fixes the encode parallelism. ``partitions=1`` is
+    the CANONICAL REPACK mode: block boundaries then depend only on
+    (id, version) order and ``block_size``, so the same element set
+    produces byte-identical files no matter how the input was sharded
+    or how many workers wrote it — the reference's repack invariant
+    (pyrosm.py:1251-1253). With >1 partitions, range-sampler boundary
+    placement may split blocks differently run-to-run (element content
+    and order are still identical)."""
     from pyspark.sql import functions as F
 
     # ONE nodes pass computes the header bbox AND the nodes'
@@ -785,7 +794,7 @@ def write_pbf(nodes, ways, relations, path: str,
         # carry multiple versions per id and readers expect
         # version-ascending order within an id
         d = d.select(*cols).repartitionByRange(
-            max(1, d.rdd.getNumPartitions()), "id"
+            partitions or max(1, d.rdd.getNumPartitions()), "id"
         ).sortWithinPartitions("id", "version")
 
         def enc(batches):

@@ -450,6 +450,49 @@ def test_sharded_write_read_roundtrip(spark, synth_dir, tmp_path):
     assert kinds[0] == "OSMHeader" and "OSMData" in kinds
 
 
+def test_sharded_write_worker_count_invariant(spark, synth_dir, tmp_path):
+    """The worker-count invariant (reference pyrosm.py:1251-1253): the
+    element set a PBF dataset carries must not depend on how many
+    workers wrote it, and a canonical repack of any sharding must be
+    byte-identical.
+
+    1. write_pbf_sharded at 2 and at 8 partitions + single-file
+       write_pbf all re-read to the same element set;
+    2. canonical repack (write_pbf partitions=1) of each re-read
+       dataset produces byte-identical files.
+    """
+    import hashlib
+
+    nodes, ways, rels = _quantized_world(spark, synth_dir)
+    single = str(tmp_path / "single.osm.pbf")
+    pbf.write_pbf(nodes, ways, rels, single, block_size=300)
+    out2, out8 = str(tmp_path / "s2"), str(tmp_path / "s8")
+    m2 = pbf.write_pbf_sharded(nodes, ways, rels, out2,
+                               block_size=300, partitions=2)
+    m8 = pbf.write_pbf_sharded(nodes, ways, rels, out8,
+                               block_size=300, partitions=8)
+    assert (m2["nodes"], m2["ways"], m2["relations"]) == \
+        (m8["nodes"], m8["ways"], m8["relations"])
+
+    reread = {src: pbf.read_pbf(spark, src) for src in (single, out2, out8)}
+    n_ref, w_ref, r_ref = reread[single]
+    for src in (out2, out8):
+        n2, w2, r2 = reread[src]
+        _assert_frames_equal(n_ref, n2, f"nodes {src}")
+        _assert_frames_equal(w_ref, w2, f"ways {src}")
+        _assert_frames_equal(r_ref.withColumn("members", F.to_json("members")),
+                             r2.withColumn("members", F.to_json("members")),
+                             f"relations {src}")
+
+    digests = set()
+    for i, src in enumerate((single, out2, out8)):
+        n2, w2, r2 = reread[src]
+        repack = str(tmp_path / f"repack{i}.osm.pbf")
+        pbf.write_pbf(n2, w2, r2, repack, block_size=300, partitions=1)
+        digests.add(hashlib.sha256(open(repack, "rb").read()).hexdigest())
+    assert len(digests) == 1, "canonical repack is not byte-identical"
+
+
 def test_header_block_roundtrip(tmp_path):
     """OSMHeader carries bbox + required features."""
     hdr = pbf.encode_header_block(bbox=(24.0, 60.0, 25.0, 61.0))
