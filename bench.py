@@ -132,6 +132,22 @@ def main():
         os.path.join(bench_dir, hl_name))
     nodes, ways, rels = load_osm(spark, bench_dir)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # LSH-only corpus: the sf docs table (5k rows at sf0.1) is pure
+    # fixed cost for a dedup bench — the query measured nothing but
+    # JVM/stage setup and could not exhibit scaling (r3 verdict).
+    # Deterministic 16x replication (suffixed ids; replicas form real
+    # dup cliques, exactly the shape dedup meets at corpus scale)
+    # gives the banded self-join measurable work, same rationale as
+    # the headline table's SPARK_GRAFT_HL_FACTOR.
+    doc_factor = int(os.environ.get("SPARK_GRAFT_DOC_FACTOR", "16"))
+    docs_lsh = docs
+    if doc_factor > 1:
+        docs_lsh = (
+            docs.crossJoin(
+                spark.range(doc_factor).withColumnRenamed("id", "rep"))
+            .withColumn("doc_id", F.concat_ws(
+                "_", F.col("doc_id").cast("string"), "rep"))
+            .drop("rep"))
     n_images = images_hl.count()
 
     # polygons for the PIP join: buildings (way+relation features)
@@ -201,7 +217,7 @@ def main():
           .select("id", "osm_type", "geometry").count())
     small_file_confs(True)
     n_lsh = bench("q_minhash_lsh", lambda: minhash_lsh_pairs(
-        docs, n_blocks=4).count())
+        docs_lsh, n_blocks=4).count())
     n_ph = bench("q_phash_pairs", lambda: phash_pairs(
         images, n_blocks=8).count())
     n_dec = bench("q_decode_features", lambda: decode_features(
