@@ -42,7 +42,16 @@ def ensure_bench_data(sf: float) -> tuple:
     out = os.path.join(REPO, "data", f"bench_sf{sf}")
     n_images = max(int(20_000_000 * sf), 40_000)
     grid = max(int(64 * (sf / 0.1) ** 0.5), 24)
-    ensure_osm_tables(out, grid=grid, seed=42)
+    # SPARK_GRAFT_OSM_GRID: denser OSM world for scaling runs — the
+    # default grid's network/buildings queries finish in ~1 s, which is
+    # pure fixed cost at both parallelism levels (same rationale as
+    # HL_FACTOR / DOC_FACTOR). ensure_osm_tables caches by existence
+    # only, so a non-default grid gets its own subdirectory.
+    grid = int(os.environ.get("SPARK_GRAFT_OSM_GRID", grid))
+    osm_dir = out
+    if grid != max(int(64 * (sf / 0.1) ** 0.5), 24):
+        osm_dir = os.path.join(out, f"osm_g{grid}")
+    ensure_osm_tables(osm_dir, grid=grid, seed=42)
     ensure_images_table(
         os.path.join(out, "images.parquet"),
         n_rows=n_images,
@@ -68,14 +77,14 @@ def ensure_bench_data(sf: float) -> tuple:
         bytes_every=n_hl,  # a single payload row: geometry-only workload
         rows_per_file=50_000,
     )
-    return out, hl_name
+    return out, hl_name, osm_dir
 
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_from_dir(sf_dir)
-    bench_dir, hl_name = ensure_bench_data(sf)
+    bench_dir, hl_name, osm_dir = ensure_bench_data(sf)
 
     from pyspark.sql import functions as F
 
@@ -130,7 +139,7 @@ def main():
     images = spark.read.parquet(os.path.join(bench_dir, "images.parquet"))
     images_hl = spark.read.parquet(
         os.path.join(bench_dir, hl_name))
-    nodes, ways, rels = load_osm(spark, bench_dir)
+    nodes, ways, rels = load_osm(spark, osm_dir)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     # LSH-only corpus: the sf docs table (5k rows at sf0.1) is pure
     # fixed cost for a dedup bench — the query measured nothing but

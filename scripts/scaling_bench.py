@@ -58,6 +58,11 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     # work — at the rule's 10^12-row regime it would be invisible
     env.setdefault("SPARK_GRAFT_HL_FACTOR",
                    os.environ.get("SCALE_HL_FACTOR", "16"))
+    # denser OSM world for the same reason: network/buildings at the
+    # default grid finish in ~1 s — pure fixed cost at both levels, so
+    # their speedup rows measured nothing (r3 "no scaling" weak spot)
+    env.setdefault("SPARK_GRAFT_OSM_GRID",
+                   os.environ.get("SCALE_OSM_GRID", "160"))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, timeout=3600,
