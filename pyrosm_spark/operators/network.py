@@ -186,7 +186,12 @@ def get_network(
         e = e.filter(_segment_intersects_box(F.col("seg"), bbox))
     from pyrosm_spark.functions.distance import segment_length_m
 
-    meta_keep = [c for c in ("version", "timestamp", "changeset")
+    # version/timestamp ONLY — networks.py:17-20 requests changeset
+    # too, but the reference's way records never carry it
+    # (pbfreader.pyx parse_ways emits id/version/timestamp/visible/
+    # tags/nodes), so reference network frames have no changeset
+    # column; both our paths match that
+    meta_keep = [c for c in ("version", "timestamp")
                  if keep_metadata and c in e.columns]
     refs_keep = ["refs"] if keep_refs else []
     edges = (

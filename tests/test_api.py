@@ -336,6 +336,14 @@ def test_network_keep_metadata_toggle(spark, synth_dir):
     meta = {"version", "timestamp", "changeset"}
     with_m = OSM(spark, synth_dir).get_network("driving")
     assert {"version", "timestamp"} <= set(with_m.columns)
+    # changeset NEVER appears on network frames, even with
+    # keep_metadata=True: the reference's way records don't carry it
+    # (pbfreader.pyx parse_ways), so its network frames can't either —
+    # and both our paths must agree
+    assert "changeset" not in with_m.columns
+    _, seg_m = OSM(spark, synth_dir).get_network("driving", nodes=True)
+    assert {"version", "timestamp"} <= set(seg_m.columns)
+    assert "changeset" not in seg_m.columns
     without = OSM(spark, synth_dir, keep_metadata=False)
     e = without.get_network("driving")
     assert not (meta & set(e.columns))

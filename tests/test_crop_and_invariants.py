@@ -122,3 +122,10 @@ def test_crop_to_dataset_roundtrip(spark, synth_dir, tmp_path):
     reread = sorted(r["id"] for r in
                     get_network(n2, w2, "driving").select("id").collect())
     assert direct == reread and len(reread) > 0
+
+    # file: URI out_dirs — BOTH legal local forms must produce the
+    # same manifest as the plain path (a fixed 7-char scheme slice
+    # used to mangle the single-slash form into a 0-count walk)
+    for uri in (f"file:{tmp_path}/crop_u1", f"file://{tmp_path}/crop_u2"):
+        got = crop_to_dataset(nodes, ways, rels, TEST_BBOX, uri)
+        assert got == counts, uri
