@@ -216,6 +216,9 @@ def make_bucket_udf(dim: int, n_planes: int = N_PLANES, n_tables: int = 1):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def lsh_buckets(vec: pd.Series) -> pd.Series:
+        if not len(vec):
+            # np.array([]) is 1-D: the matmul below would raise
+            return pd.Series([], dtype=object)
         mat = np.array([np.asarray(v, dtype=np.float64) for v in vec])
         signs = (mat @ all_planes.T) > 0  # (n, n_tables*n_planes)
         signs = signs.reshape(len(vec), n_tables, n_planes)
@@ -376,6 +379,9 @@ def make_ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def ivf_cells(vec: pd.Series) -> pd.Series:
+        if not len(vec):
+            # np.array([]) is 1-D: the matmul below would raise
+            return pd.Series([], dtype=object)
         mat = np.array([np.asarray(v, dtype=np.float64) for v in vec])
         d = cnorm2[None, :] - 2.0 * (mat @ cent.T)  # (n, n_cells)
         idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(
@@ -597,6 +603,9 @@ def make_pq_encode_udf(codebooks: np.ndarray):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def pq_codes(vec: pd.Series) -> pd.Series:
+        if not len(vec):
+            # np.array([]) is 1-D: the 2-D slice below would raise
+            return pd.Series([], dtype=object)
         x = np.array([np.asarray(v, dtype=np.float64) for v in vec])
         out = np.empty((len(x), m), dtype=np.int32)
         for j in range(m):
@@ -618,6 +627,9 @@ def make_pq_lut_udf(codebooks: np.ndarray):
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def pq_lut(vec: pd.Series) -> pd.Series:
+        if not len(vec):
+            # np.array([]) is 1-D: the 2-D slice below would raise
+            return pd.Series([], dtype=object)
         x = np.array([np.asarray(v, dtype=np.float64) for v in vec])
         luts = np.empty((len(x), m * kc), dtype=np.float64)
         for j in range(m):
