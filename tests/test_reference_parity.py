@@ -209,6 +209,39 @@ def test_buildings_with_relations_helsinki(osm_helsinki):
     assert "relation" in types and "way" in types
 
 
+@needs_fixtures
+def test_helsinki_buildings_match_committed_golden(osm_helsinki):
+    """The committed golden snapshot (data/goldens/
+    helsinki_buildings.parquet — the driver-gate value oracle for
+    buildings_relations_helsinki) stays byte-exact against a live run:
+    ids, geometry types, WKB lengths and per-feature WKB md5 digests.
+    Guards both engine determinism and golden staleness — if assembly
+    semantics ever change, this fails before the driver gate does."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    golden_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "goldens", "helsinki_buildings.parquet")
+    golden = pq.read_table(golden_path).to_pandas()
+
+    live = (
+        osm_helsinki.get_buildings()
+        .select(
+            "id", "osm_type", "building",
+            F.conv(F.hex(F.substring("geometry", 2, 1)), 16, 10)
+            .cast("int").alias("geom_type"),
+            F.length("geometry").cast("long").alias("wkb_len"),
+            F.md5("geometry").alias("wkb_md5"),
+        )
+        .toPandas()
+    )
+    key = ["osm_type", "id"]
+    golden = golden.sort_values(key).reset_index(drop=True)
+    live = live.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(live[golden.columns.tolist()], golden)
+
+
 # --- landuse / natural (test_landuse_parsing.py, test_natural_parsing.py) -
 
 @needs_fixtures
