@@ -24,6 +24,22 @@ from pyspark.sql import types as T
 from pyrosm_spark.functions.vectors import dot as _dot
 from pyrosm_spark.operators.text import tokens_col, tokens_sql
 
+
+def _pin_fresh(tag: str, df: DataFrame) -> DataFrame:
+    """Materialize a multiply-consumed subtree under the shared
+    spatial-join pin lifecycle: release the PREVIOUS call's pin for
+    this tag, persist this one. Replaces raw ``localCheckpoint()``,
+    which (a) accumulates storage for the life of the session — every
+    dedup call in a long-lived pipeline pins another corpus x bands
+    materialization until driver GC happens to collect the frame —
+    and (b) is non-reliable at scale: a lost executor drops checkpoint
+    partitions and FAILS the job, where a persisted frame just
+    recomputes its (deterministic) lineage."""
+    from pyrosm_spark.operators.spatial_join import _pin, _release_pins
+
+    _release_pins(tag)
+    return _pin(tag, df)
+
 # ---- deterministic MinHash parameters (frozen; mirrored in SQL) -----------
 MINHASH_P = 1_000_000_007
 _rng = np.random.default_rng(20260816)
@@ -182,8 +198,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     # the tokenize+zip+explode+dropDuplicates subtree feeds SIX plan
     # arms (size agg, hot-df agg, both self-join sides, the two
     # full-set recount joins) — materialize it once per action, the
-    # same hazard banded_self_pairs localCheckpoints against
-    sh = _shingle_rows(docs, text_col, id_col, n).localCheckpoint()
+    # same hazard banded_self_pairs pins against
+    sh = _pin_fresh("ngram_shingles",
+                    _shingle_rows(docs, text_col, id_col, n))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     if max_df is not None:
         hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
@@ -323,7 +340,7 @@ def banded_self_pairs(
     # (id, band)).
     shuffle_n = int(banded.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
-    banded = banded.repartition(shuffle_n).localCheckpoint()
+    banded = _pin_fresh("lsh_banded", banded.repartition(shuffle_n))
     if n_blocks <= 1 and hot_threshold is None:
         a = banded.hint("shuffle_hash").alias("a")
         b = banded.hint("shuffle_hash").alias("b")
@@ -896,7 +913,8 @@ def phash_pairs_grouped(images: DataFrame, max_hamming: int = 6,
         "img", "ph", "bk.band", "bk.key")
     shuffle_n = int(banded.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
-    banded = banded.repartition(shuffle_n).localCheckpoint()
+    banded = _pin_fresh("phash_grouped_banded",
+                        banded.repartition(shuffle_n))
 
     hot = (banded.groupBy("band", "key").count()
            .filter(F.col("count") > hot_threshold)
