@@ -179,6 +179,16 @@ def main():
         made round-over-round deltas undecidable (round-2 verdict);
         per-query minima at a fixed parallelism are the stable
         statistic. Row counts come from the first repetition."""
+        # hand the previous query's operator-pinned caches back before
+        # timing this one (the documented between-pipeline-stages
+        # call): without it, phash/minhash time their banded builds
+        # under the storage pressure of every earlier query's pins —
+        # measured 10.9 s suite-context vs 5.1 s standalone for the
+        # same phash plan. The explicit polygons .cache() is untouched.
+        from pyrosm_spark.operators.spatial_join import (
+            release_pinned_caches,
+        )
+        release_pinned_caches()
         runs = []
         out = None
         for i in range(max(reps, 1)):
