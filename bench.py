@@ -257,6 +257,12 @@ def main():
         "queries_all_reps": all_timings,
         "n_images": n_images,
         "n_polygons": n_polys,
+        # corpus replication factors: doc_factor scales the dedup corpus
+        # (q_minhash_lsh / q_phash_pairs candidate-pair counts grow
+        # ~quadratically in it), hl_factor the headline image table —
+        # timings/row counts are only comparable at equal factors.
+        "doc_factor": doc_factor,
+        "hl_factor": int(os.environ.get("SPARK_GRAFT_HL_FACTOR", "4")),
         "rows": {"tiles": n_tiles, "pip": n_pip, "knn": n_knn,
                  "raster_pairs": n_raster,
                  "edges": n_edges, "lsh_pairs": n_lsh,

@@ -292,6 +292,7 @@ def banded_self_pairs(
     extra_cols: tuple = (),
     first_band_cond=None,
     hot_threshold: int | None = None,
+    op: str = "lsh",
 ) -> DataFrame:
     """Enumerate unordered within-bucket pairs of a banded table.
 
@@ -321,6 +322,12 @@ def banded_self_pairs(
     ``n_blocks`` is 1 (hot buckets then use 8 chunks) — previously the
     dial was silently ignored without an explicit n_blocks.
 
+    ``op`` namespaces the pinned-cache tag (``<op>_banded``), so two
+    LSH operators composed into one lazy plan (e.g. minhash + simhash
+    feeding near-dup clustering) don't unpin each other's banded frame
+    before the action runs — a shared tag would silently re-execute the
+    first arm's banding subtree per consumer.
+
     Both sides carry SHUFFLE_HASH hints: this is a self-join of
     equal-size tables, so a broadcast build (which Spark picks when
     the checkpointed side's stats read small) is never right — at
@@ -340,7 +347,7 @@ def banded_self_pairs(
     # (id, band)).
     shuffle_n = int(banded.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
-    banded = _pin_fresh("lsh_banded", banded.repartition(shuffle_n))
+    banded = _pin_fresh(f"{op}_banded", banded.repartition(shuffle_n))
     if n_blocks <= 1 and hot_threshold is None:
         a = banded.hint("shuffle_hash").alias("a")
         b = banded.hint("shuffle_hash").alias("b")
@@ -491,7 +498,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     ).select("doc", "allkeys", F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
     pairs = banded_self_pairs(banded, ["band", "key"], "doc", n_blocks,
-                              first_band_cond=_first_key_cond("allkeys"))
+                              first_band_cond=_first_key_cond("allkeys"),
+                              op="minhash_lsh")
     return pairs.select(F.col("id_a").alias("doc_a"),
                         F.col("id_b").alias("doc_b"))
 
@@ -662,7 +670,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
         "doc", "sim", "bk.band", "bk.key")
     pairs = banded_self_pairs(banded, ["band", "key"], "doc", n_blocks,
                               extra_cols=("sim",),
-                              first_band_cond=_first_chunk_cond("sim"))
+                              first_band_cond=_first_chunk_cond("sim"),
+                              op="simhash")
     return (
         pairs.select(
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
@@ -793,7 +802,8 @@ def phash_pairs(images: DataFrame, max_hamming: int = 6,
     pairs = banded_self_pairs(banded, ["band", "key"], "img", n_blocks,
                               extra_cols=("ph",),
                               first_band_cond=_first_chunk_cond("ph"),
-                              hot_threshold=hot_threshold)
+                              hot_threshold=hot_threshold,
+                              op="phash_join")
     return (
         pairs.select(
             F.col("id_a").alias("img_a"), F.col("id_b").alias("img_b"),

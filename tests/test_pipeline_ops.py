@@ -328,6 +328,28 @@ def test_vid_frame_offsets_fast_path():
         assert (a == b).all()
 
 
+def test_composed_lsh_ops_keep_separate_pins(spark, docs):
+    """Composing two LSH operators into one lazy plan must not unpin
+    the first operator's banded frame (pin tags are namespaced per
+    operator — a shared tag made the second build release the first's
+    materialization before the action ran, silently re-executing the
+    banding subtree per consumer arm)."""
+    from pyrosm_spark.operators import spatial_join as SJ
+    SJ.release_pinned_caches()
+    mh = D.minhash_lsh_pairs(docs)       # pins minhash_lsh_banded
+    sh = D.simhash_pairs(docs, max_hamming=16)  # pins simhash_banded
+    assert SJ._PINNED.get("minhash_lsh_banded"), \
+        "minhash banded frame unpinned by the simhash build"
+    assert SJ._PINNED.get("simhash_banded")
+    # the composed action still runs with both frames pinned
+    both = (mh.select("doc_a", "doc_b")
+            .unionByName(sh.select("doc_a", "doc_b")).distinct())
+    assert both.count() > 0
+    assert SJ._PINNED.get("minhash_lsh_banded")
+    assert SJ._PINNED.get("simhash_banded")
+    SJ.release_pinned_caches()
+
+
 def test_blocked_self_join_equals_plain(spark, docs, synth_dir):
     """Skew-blocked pair enumeration must produce the identical pair set."""
     import os

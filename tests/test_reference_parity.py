@@ -242,6 +242,67 @@ def test_helsinki_buildings_match_committed_golden(osm_helsinki):
     pd.testing.assert_frame_equal(live[golden.columns.tolist()], golden)
 
 
+@needs_fixtures
+def test_helsinki_geometry_independent_crosscheck(osm_helsinki):
+    """Every Helsinki building geometry, cross-checked against an
+    INDEPENDENT decode of the same PBF (tests/independent_osm.py: a
+    test-local pure-Python PBF reader + WKB parser sharing no code with
+    sources/pbf.py or the numpy WKB kernels).
+
+    The committed golden pins the pipeline byte-exact but was generated
+    by the pipeline itself, so a systematic assembly bug present at
+    golden time would pass it (round-4 ADVICE). This test closes that
+    hole at the coordinate level:
+
+    * way buildings: the WKB polygon's exterior ring equals the way's
+      node coordinate chain (up to rotation/direction; 1e-9 deg);
+    * relation buildings: the multiset of WKB rings equals the rings
+      independently stitched from the relation's member ways;
+    * ring areas agree (shoelace, rel 1e-9) and the RHR convention
+      holds (exterior CCW, holes CW — reference geometry.pyx:17-24).
+    """
+    from tests import independent_osm as IND
+
+    nodes, ways, rels = IND.read_pbf(REF_HELSINKI_PBF)
+    live = (osm_helsinki.get_buildings()
+            .select("id", "osm_type", "geometry").collect())
+    assert len(live) == 486
+    checked_ways = checked_rels = 0
+    for r in live:
+        (gname, polys) = IND.parse_wkb(bytes(r["geometry"]))
+        # RHR: first ring of each polygon CCW, holes CW (degenerate
+        # zero-area rings — gappy ways collapsed to <3 distinct points,
+        # kept to match the reference's 486-feature count — excepted)
+        for rings in polys:
+            assert IND.shoelace(rings[0]) >= 0, (r["osm_type"], r["id"])
+            for hole in rings[1:]:
+                assert IND.shoelace(hole) <= 0, (r["osm_type"], r["id"])
+        got_rings = [ring for rings in polys for ring in rings]
+        if r["osm_type"] == "way":
+            assert gname == "Polygon" and len(got_rings) == 1
+            # extract-boundary gaps: refs outside the extract drop out
+            # of the chain (J5 semantics — J1 joins the full node table)
+            chain = [nodes[n] for n in ways[r["id"]]["refs"]
+                     if n in nodes]
+            assert (IND.canonical_ring(got_rings[0])
+                    == IND.canonical_ring(chain)), r["id"]
+            assert IND.shoelace(got_rings[0]) == pytest.approx(
+                abs(IND.shoelace(chain)), rel=1e-9)
+            checked_ways += 1
+        elif r["osm_type"] == "relation":
+            members = rels[r["id"]]["members"]
+            chains = [[nodes[n] for n in ways[m]["refs"]
+                       if n in nodes]
+                      for t, m, _ in members
+                      if t == "way" and m in ways]
+            expected = IND.stitch_rings(chains)
+            got = sorted(IND.canonical_ring(g) for g in got_rings)
+            exp = sorted(IND.canonical_ring(e) for e in expected)
+            assert got == exp, f"relation {r['id']} ring mismatch"
+            checked_rels += 1
+    assert checked_ways == 423 and checked_rels == 63
+
+
 # --- landuse / natural (test_landuse_parsing.py, test_natural_parsing.py) -
 
 @needs_fixtures
