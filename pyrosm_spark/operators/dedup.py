@@ -818,47 +818,54 @@ _POPCNT16 = np.array([bin(i).count("1") for i in range(1 << 16)],
 
 
 def _hamming64(x: np.ndarray) -> np.ndarray:
-    """Vectorized popcount of int64/uint64 xor values (16-bit LUT)."""
-    u = x.astype(np.uint64)
-    return (_POPCNT16[(u & np.uint64(0xFFFF)).astype(np.int64)]
-            + _POPCNT16[((u >> np.uint64(16))
-                         & np.uint64(0xFFFF)).astype(np.int64)]
-            + _POPCNT16[((u >> np.uint64(32))
-                         & np.uint64(0xFFFF)).astype(np.int64)]
-            + _POPCNT16[((u >> np.uint64(48))
-                         & np.uint64(0xFFFF)).astype(np.int64)]
-            ).astype(np.int32)
+    """Vectorized popcount of int64/uint64 xor values (16-bit LUT over
+    a raw uint16 reinterpretation — no shift/mask temporaries; ~3x the
+    shift-ladder formulation at 4M elements)."""
+    v = _POPCNT16[np.ascontiguousarray(x).view(np.uint16)].reshape(-1, 4)
+    return ((v[:, 0] + v[:, 1]) + (v[:, 2] + v[:, 3])).astype(np.int32)
 
 
 def _first_zero_chunk(x: np.ndarray) -> np.ndarray:
     """Lowest 16-bit-aligned zero chunk of each xor value — the pair's
-    first matching band (numpy mirror of _first_chunk_cond)."""
-    u = x.astype(np.uint64)
-    m0 = (u & np.uint64(0xFFFF)) == 0
-    m1 = ((u >> np.uint64(16)) & np.uint64(0xFFFF)) == 0
-    m2 = ((u >> np.uint64(32)) & np.uint64(0xFFFF)) == 0
-    return np.where(m0, 0, np.where(m1, 1, np.where(m2, 2, 3)))
+    first matching band (numpy mirror of _first_chunk_cond). Values
+    with NO zero chunk return 3, matching the shift-ladder original
+    (within-bucket candidates always have one: the bucket's own band)."""
+    z = np.ascontiguousarray(x).view(np.uint16).reshape(-1, 4) == 0
+    # argmax yields the first True; all-False rows yield 0 -> force 3
+    return np.where(z.any(axis=1), np.argmax(z, axis=1), 3)
 
 
-def _emit_pairs(ids_l, ids_r, ph_l, ph_r, band, max_hamming):
-    """Filter candidate (left, right) row pairs to first-matching-band
-    hamming survivors; returns an ordered (img_a, img_b, hamming)
-    DataFrame."""
-    x = np.bitwise_xor(ph_l, ph_r)
+def _emit_pairs(ids, left, right, phs, band, max_hamming):
+    """Filter candidate (left, right) index pairs over (ids, phs) rows
+    to first-matching-band hamming survivors; returns an ordered
+    (img_a, img_b, hamming) DataFrame.
+
+    Takes row arrays + index pairs (not pre-gathered sides) so the id
+    gather — object-dtype for string ids — runs only on hamming/band
+    survivors (a few % of candidates), never on the full candidate set.
+    """
+    x = np.bitwise_xor(phs[left], phs[right])
     ham = _hamming64(x)
-    # ids_l != ids_r keeps the contract identical to the join strategy
-    # and the SQL oracle (strict a.id < b.id: duplicate-id rows never
-    # self-pair)
-    keep = ((ham <= max_hamming) & (_first_zero_chunk(x) == band)
-            & (ids_l != ids_r))
+    keep = ham <= max_hamming
     if not keep.any():
         return None
-    il, ir = ids_l[keep], ids_r[keep]
+    sub = _first_zero_chunk(x[keep]) == band
+    ham = ham[keep][sub]
+    li, ri = left[keep][sub], right[keep][sub]
+    il, ir = ids[li], ids[ri]
+    # il != ir keeps the contract identical to the join strategy and
+    # the SQL oracle (strict a.id < b.id: duplicate-id rows never
+    # self-pair)
+    neq = il != ir
+    if not neq.all():
+        il, ir, ham = il[neq], ir[neq], ham[neq]
+    if il.size == 0:
+        return None
     lt = il < ir
     return pd.DataFrame({
         "img_a": np.where(lt, il, ir),
         "img_b": np.where(lt, ir, il),
-        "hamming": ham[keep],
+        "hamming": ham,
     })
 
 
@@ -938,8 +945,7 @@ def phash_pairs_grouped(images: DataFrame, max_hamming: int = 6,
         phs = pdf["ph"].to_numpy(dtype=np.int64)[order]
         _uniq, counts = np.unique(keys, return_counts=True)
         left, right = _triangle_indices(counts)
-        out = _emit_pairs(ids[left], ids[right], phs[left], phs[right],
-                          band, max_hamming)
+        out = _emit_pairs(ids, left, right, phs, band, max_hamming)
         return out if out is not None else pd.DataFrame(
             {"img_a": [], "img_b": [], "hamming": []})
 
@@ -965,8 +971,7 @@ def phash_pairs_grouped(images: DataFrame, max_hamming: int = 6,
             b = np.flatnonzero(cs == gb)
             left = np.repeat(a, b.size)
             right = np.tile(b, a.size)
-        out = _emit_pairs(ids[left], ids[right], phs[left], phs[right],
-                          band, max_hamming)
+        out = _emit_pairs(ids, left, right, phs, band, max_hamming)
         return out if out is not None else pd.DataFrame(
             {"img_a": [], "img_b": [], "hamming": []})
 
