@@ -303,6 +303,45 @@ def test_helsinki_geometry_independent_crosscheck(osm_helsinki):
     assert checked_ways == 423 and checked_rels == 63
 
 
+@needs_fixtures
+def test_network_geometry_independent_crosscheck(osm_test):
+    """Every driving-network edge geometry and length on the
+    reference's test fixture, cross-checked against the independent
+    test-local PBF/WKB readers (see
+    test_helsinki_geometry_independent_crosscheck): linestring
+    coordinates must equal the way's node chain in way order (1e-9
+    deg), and `length` must equal the reference formula recomputed
+    from scratch (per-segment haversine at R=6371.0088 km rounded to
+    3 decimals, way sum rounded to 0 — distance.py contract)."""
+    import math
+
+    from tests import independent_osm as IND
+
+    nodes, ways, _rels = IND.read_pbf(REF_TEST_PBF)
+
+    def hav_m(p1, p2):
+        (lon1, lat1), (lon2, lat2) = p1, p2
+        la1, la2 = math.radians(lat1), math.radians(lat2)
+        d = (math.sin((la2 - la1) / 2) ** 2
+             + math.cos(la1) * math.cos(la2)
+             * math.sin(math.radians(lon2 - lon1) / 2) ** 2)
+        return 2 * 6371.0088e3 * math.asin(math.sqrt(d))
+
+    live = (osm_test.get_network("driving")
+            .select("id", "geometry", "length").collect())
+    assert len(live) > 100
+    for r in live:
+        gname, polys = IND.parse_wkb(bytes(r["geometry"]))
+        assert gname == "LineString", r["id"]
+        chain = [nodes[n] for n in ways[r["id"]]["refs"] if n in nodes]
+        got = [(round(x, 9), round(y, 9)) for x, y in polys[0][0]]
+        exp = [(round(x, 9), round(y, 9)) for x, y in chain]
+        assert got == exp, f"way {r['id']} coordinate mismatch"
+        want = round(sum(round(hav_m(a, b), 3)
+                         for a, b in zip(chain, chain[1:])))
+        assert abs(r["length"] - want) <= 1.0, (r["id"], r["length"], want)
+
+
 # --- landuse / natural (test_landuse_parsing.py, test_natural_parsing.py) -
 
 @needs_fixtures
