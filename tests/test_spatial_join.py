@@ -761,3 +761,47 @@ def test_left_join_pins_matched_once(spark, images, buildings):
     # and the left contract still holds
     n_points = images.count()
     assert j.select("image_id").distinct().count() == n_points
+
+
+def test_pip_cover_memo_reuse_and_invalidation(spark, images, buildings):
+    """Repeated pip calls with a semantically identical polygon side
+    reuse the pinned cover derivation (_memo_pin); a different res or
+    an explicit release rebuilds it — and results never change."""
+    from pyrosm_spark.operators import spatial_join as SJ
+
+    SJ.release_pinned_caches()
+    assert not SJ._PIN_MEMO
+    n1 = point_in_polygon_join(images, buildings, res=15).count()
+    first = SJ._PINNED.get("pip_cover")
+    assert first and SJ._PIN_MEMO.get("pip_cover")
+    j2 = point_in_polygon_join(images, buildings, res=15)
+    # same pinned frame object — the derivation was NOT rebuilt
+    assert SJ._PINNED.get("pip_cover") is first
+    plan = j2._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert j2.count() == n1
+    # a different res must rebuild (stale-cover hazard)
+    n3 = point_in_polygon_join(images, buildings, res=13).count()
+    assert SJ._PINNED.get("pip_cover") is not first
+    assert n3 == n1  # output is res-invariant on this fixture
+    # a different polygon plan must rebuild too
+    point_in_polygon_join(images, buildings.limit(3), res=13).count()
+    assert len(SJ._PINNED.get("pip_cover", [])) == 1  # old one released
+    # explicit release invalidates the memo
+    SJ.release_pinned_caches()
+    assert "pip_cover" not in SJ._PIN_MEMO and not SJ._PINNED
+
+
+def test_raster_cover_memo_reuse(spark, images, buildings):
+    from pyrosm_spark.operators import spatial_join as SJ
+    from pyrosm_spark.operators.spatial_join import (
+        assign_tiles, raster_polygon_join)
+
+    SJ.release_pinned_caches()
+    tiles14 = assign_tiles(images, 14).groupBy("cell").count()
+    n1 = raster_polygon_join(tiles14, buildings, res=14).count()
+    first = SJ._PINNED.get("raster_cover")
+    assert first
+    assert raster_polygon_join(tiles14, buildings, res=14).count() == n1
+    assert SJ._PINNED.get("raster_cover") is first
+    SJ.release_pinned_caches()
