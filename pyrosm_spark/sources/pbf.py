@@ -844,18 +844,31 @@ def write_pbf(nodes, ways, relations, path: str,
                                   encode_relations_block)),
     ]
     counts = {"blobs": 1}
-    tmp = path + ".inprogress"
-    with open(tmp, "wb") as f:
-        f.write(frame_blob("OSMHeader",
-                           encode_header_block(bbox, history)))
-        for name, stream in streams:
-            n = 0
-            for row in stream.toLocalIterator():
-                f.write(bytes(row["blob"]))
-                n += int(row["n"])
-                counts["blobs"] += 1
-            counts[name] = n
-    os.replace(tmp, path)
+    # per-process temp name: two processes racing to publish the same
+    # path (check-then-act callers like _world_pbf) must not share a
+    # temp file — a shared name lets writer B's open() truncate the
+    # inode writer A is mid-write on, and B's replace() fails ENOENT
+    # after A renames it away. Unique temps make os.replace a clean
+    # last-writer-wins.
+    tmp = f"{path}.inprogress-{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(frame_blob("OSMHeader",
+                               encode_header_block(bbox, history)))
+            for name, stream in streams:
+                n = 0
+                for row in stream.toLocalIterator():
+                    f.write(bytes(row["blob"]))
+                    n += int(row["n"])
+                    counts["blobs"] += 1
+                counts[name] = n
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
     return counts
 
 

@@ -971,3 +971,64 @@ def test_tag_value_rendering_property(spark, synth_dir):
            for r in w2.filter(F.col("id").isin(wids)).collect()}
     for wid, d in zip(wids, doubles):
         assert got[wid] == ref_tag_str(d), (d, got[wid], ref_tag_str(d))
+
+
+def _empty_ways_rels(spark):
+    empty_w = spark.createDataFrame(
+        [], "id long, refs array<long>, tags map<string,string>, "
+            "version int, changeset long, timestamp long, visible boolean")
+    empty_r = spark.createDataFrame(
+        [], "id long, members array<struct<member_id:long, "
+            "member_type:string, member_role:string>>, "
+            "tags map<string,string>, version int, changeset long, "
+            "timestamp long, visible boolean")
+    return empty_w, empty_r
+
+
+def test_write_pbf_temp_is_process_scoped(spark, tmp_path):
+    """Atomic-publish contract: write_pbf's temp file is unique per
+    process, so two processes racing to publish the same path (the
+    check-then-act pattern of fixture ensure-functions) can neither
+    truncate nor rename-steal each other's in-flight temp. A foreign
+    writer's .inprogress-<pid> must survive a full publish untouched,
+    and the publisher must leave no temp of its own behind."""
+    nodes = spark.createDataFrame(
+        [(1, 1.0, 2.0, None, 1, 1, 0, True)],
+        "id long, lon double, lat double, tags map<string,string>, "
+        "version int, changeset long, timestamp long, visible boolean")
+    empty_w, empty_r = _empty_ways_rels(spark)
+    out = str(tmp_path / "race.osm.pbf")
+    foreign = out + ".inprogress-99999999"
+    with open(foreign, "wb") as f:
+        f.write(b"foreign writer in progress")
+
+    manifest = pbf.write_pbf(nodes, empty_w, empty_r, out)
+    assert manifest["nodes"] == 1
+    assert os.path.exists(out)
+    with open(foreign, "rb") as f:
+        assert f.read() == b"foreign writer in progress"
+    leftovers = [p for p in os.listdir(tmp_path) if ".inprogress" in p]
+    assert leftovers == [os.path.basename(foreign)]
+    n2, _w2, _r2 = pbf.read_pbf(spark, out)
+    assert n2.count() == 1
+
+
+def test_write_pbf_failed_publish_removes_own_temp(
+        spark, tmp_path, monkeypatch):
+    """A write_pbf that dies mid-write removes its own temp and never
+    publishes a partial file."""
+    nodes = spark.createDataFrame(
+        [(1, 1.0, 2.0, None, 1, 1, 0, True)],
+        "id long, lon double, lat double, tags map<string,string>, "
+        "version int, changeset long, timestamp long, visible boolean")
+    empty_w, empty_r = _empty_ways_rels(spark)
+    out = str(tmp_path / "fail.osm.pbf")
+
+    def boom(*_a, **_k):
+        raise RuntimeError("injected header failure")
+
+    monkeypatch.setattr(pbf, "frame_blob", boom)
+    with pytest.raises(RuntimeError, match="injected header failure"):
+        pbf.write_pbf(nodes, empty_w, empty_r, out)
+    assert not os.path.exists(out)
+    assert [p for p in os.listdir(tmp_path) if "fail" in p] == []
