@@ -207,10 +207,15 @@ def to_igraph(
     from_col: str = "u",
     to_col: str = "v",
     node_id_col: str = "id",
+    fallback: bool = False,
 ):
     """Export as ``igraph.Graph`` (graphs.py:240-326). The distributed
     pipeline and the sequential-id frame contract run regardless;
-    only the final constructor needs the igraph runtime."""
+    only the final constructor needs the igraph runtime.
+
+    ``fallback=True`` returns a ``graph_lite.LiteGraph`` — a pure-
+    Python stand-in implementing the routing/degree/component API
+    subset — instead of raising when python-igraph is absent."""
     npd, epd, from_col, to_col = prepare_graph_frames(
         nodes, edges, network_type, force_bidirectional, retain_all,
         already_directed, simplify, simplify_kwargs,
@@ -220,10 +225,17 @@ def to_igraph(
     try:
         import igraph
     except ImportError as e:  # same message contract as the reference
-        raise ImportError(
-            "'python-igraph' needs to be installed in order to export "
-            "the network for igraph.") from e
-    return igraph.Graph(
+        if fallback:
+            from pyrosm_spark.operators.graph_lite import LiteGraph
+
+            igraph_cls = LiteGraph
+        else:
+            raise ImportError(
+                "'python-igraph' needs to be installed in order to "
+                "export the network for igraph.") from e
+    else:
+        igraph_cls = igraph.Graph
+    return igraph_cls(
         n=len(npd), directed=True, edges=edge_list,
         vertex_attrs=npd.to_dict(orient="list"),
         edge_attrs=epd.to_dict(orient="list"),
@@ -265,8 +277,13 @@ def to_pandana(
     to_col: str = "v",
     node_id_col: str = "id",
     weight_cols=("length",),
+    fallback: bool = False,
 ):
-    """Export as ``pandana.Network`` (graphs.py:329-366)."""
+    """Export as ``pandana.Network`` (graphs.py:329-366).
+
+    ``fallback=True`` returns a ``graph_lite.LiteNetwork`` — a pure-
+    Python stand-in implementing the shortest-path / node-mapping API
+    subset — instead of raising when pandana is absent."""
     npd, epd, from_col, to_col = prepare_graph_frames(
         nodes, edges, network_type, force_bidirectional, retain_all,
         already_directed, simplify, simplify_kwargs,
@@ -276,9 +293,14 @@ def to_pandana(
     try:
         from pandana import Network
     except ImportError as e:
-        raise ImportError(
-            "'pandana' needs to be installed in order to export the "
-            "network for it.") from e
+        if fallback:
+            from pyrosm_spark.operators.graph_lite import LiteNetwork
+
+            Network = LiteNetwork
+        else:
+            raise ImportError(
+                "'pandana' needs to be installed in order to export "
+                "the network for it.") from e
     return Network(node_x=npd["x"], node_y=npd["y"],
                    edge_from=epd[from_col], edge_to=epd[to_col],
                    edge_weights=epd[list(weight_cols)], twoway=False)

@@ -916,3 +916,161 @@ def test_connected_components_string_ids(spark):
     got = {r["node"]: r["comp"] for r in scc.collect()}
     assert got == {"x": "x", "y": "x", "z": "x", "tail": "tail"}
     assert scc.schema["comp"].dataType.simpleString() == "string"
+
+
+# ---------------------------------------------------------------------
+# X4 fallback — pure-Python igraph/pandana stand-ins (graph_lite)
+# ---------------------------------------------------------------------
+
+
+def test_lite_graph_structure_and_routing():
+    """LiteGraph implements the igraph API subset the reference's docs
+    exercise on exported graphs: attribute sequences, degrees,
+    components, weighted shortest paths — all hand-checkable on a
+    5-vertex digraph."""
+    from pyrosm_spark.operators.graph_lite import LiteGraph
+
+    # 0->1 (1.0), 1->2 (2.0), 0->2 (5.0), 2->0 (1.0), 3->4 (1.0)
+    g = LiteGraph(
+        n=5, directed=True,
+        edges=[(0, 1), (1, 2), (0, 2), (2, 0), (3, 4)],
+        vertex_attrs={"id": [100, 200, 300, 400, 500]},
+        edge_attrs={"length": [1.0, 2.0, 5.0, 1.0, 1.0]})
+    assert g.vcount() == 5 and g.ecount() == 5 and g.is_directed()
+    assert g.vs["id"] == [100, 200, 300, 400, 500]
+    assert g.vs[2]["id"] == 300 and g.vs[2].index == 2
+    assert g.es.attributes() == ["length"]
+    assert g.degree(mode="out") == [2, 1, 1, 1, 0]
+    assert g.degree(mode="in") == [1, 1, 2, 0, 1]
+    assert g.degree(mode="all") == [3, 2, 3, 1, 1]
+    assert sorted(g.neighbors(0, mode="out")) == [1, 2]
+    # weak components: {0,1,2} and {3,4}
+    weak = g.connected_components("weak")
+    assert len(weak) == 2 and sorted(weak.sizes()) == [2, 3]
+    assert sorted(weak.giant()) == [0, 1, 2]
+    # strong components: {0,1,2} is a cycle; 3 and 4 are singletons
+    strong = g.connected_components("strong")
+    assert len(strong) == 3 and sorted(strong.sizes()) == [1, 1, 3]
+    # weighted shortest path 0->2 goes via 1 (1+2=3 < 5 direct)
+    assert g.distances(0, 2, weights="length") == [[3.0]]
+    assert g.get_shortest_paths(0, to=2, weights="length") == [[0, 1, 2]]
+    # unweighted (hop) distance prefers the direct edge
+    assert g.get_shortest_paths(0, to=2) == [[0, 2]]
+    # unreachable across weak components
+    assert g.distances(0, 3) == [[float("inf")]]
+    assert g.get_shortest_paths(0, to=3) == [[]]
+
+
+def test_lite_graph_matches_networkx_dijkstra():
+    """Differential check of LiteGraph's Dijkstra against networkx on
+    a deterministic random digraph (30 vertices, 120 weighted edges)."""
+    import random
+
+    import networkx as nx
+
+    from pyrosm_spark.operators.graph_lite import LiteGraph
+
+    rng = random.Random(42)
+    n = 30
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    weights = [round(rng.uniform(0.1, 9.9), 3) for _ in edges]
+    g = LiteGraph(n=n, directed=True, edges=edges,
+                  edge_attrs={"w": weights})
+    nxg = nx.DiGraph()
+    nxg.add_nodes_from(range(n))
+    for (u, v), w in zip(edges, weights):
+        # DiGraph keeps the min parallel edge — same as Dijkstra sees
+        if not nxg.has_edge(u, v) or nxg[u][v]["w"] > w:
+            nxg.add_edge(u, v, w=w)
+    for src in (0, 7, 19):
+        expect = nx.single_source_dijkstra_path_length(nxg, src,
+                                                       weight="w")
+        got = g.distances(src, weights="w")[0]
+        for t in range(n):
+            if t in expect:
+                assert abs(got[t] - expect[t]) < 1e-9, (src, t)
+            else:
+                assert got[t] == float("inf"), (src, t)
+
+
+def test_lite_network_routing_and_node_mapping():
+    """LiteNetwork implements pandana's routing subset: directed
+    shortest paths by impedance column plus nearest-node mapping."""
+    import pandas as pd
+    import pytest as _pt
+
+    from pyrosm_spark.operators.graph_lite import LiteNetwork
+
+    node_x = pd.Series([0.0, 1.0, 2.0], index=[10, 20, 30])
+    node_y = pd.Series([0.0, 0.0, 0.0], index=[10, 20, 30])
+    epd = pd.DataFrame({
+        "u": [10, 20, 10], "v": [20, 30, 30],
+        "length": [1.0, 1.0, 5.0], "time": [9.0, 9.0, 1.0]})
+    net = LiteNetwork(node_x, node_y, epd["u"], epd["v"],
+                      epd[["length", "time"]], twoway=False)
+    assert net.impedance_names == ["length", "time"]
+    # by length: 10->30 via 20 (2.0); by time: direct (1.0)
+    assert net.shortest_path(10, 30, imp_name="length") == [10, 20, 30]
+    assert net.shortest_path_length(10, 30, "length") == 2.0
+    assert net.shortest_path(10, 30, imp_name="time") == [10, 30]
+    assert net.shortest_path_length(10, 30, "time") == 1.0
+    # directed: no 30->10 path
+    assert net.shortest_path(30, 10) == []
+    assert net.shortest_path_length(30, 10) == float("inf")
+    assert net.shortest_path_lengths([10, 10], [20, 30]) == [1.0, 2.0]
+    got = net.get_node_ids(pd.Series([0.1, 1.9]), pd.Series([0.0, 0.1]))
+    assert got.tolist() == [10, 30]
+    far = net.get_node_ids(pd.Series([50.0]), pd.Series([50.0]),
+                           mapping_distance=1.0)
+    assert far.tolist() == [-1]
+    with _pt.raises(ValueError):
+        LiteNetwork(node_x, node_y, epd["u"], epd["v"],
+                    epd[[]], twoway=False)
+
+
+def test_to_igraph_pandana_fallback_end_to_end(spark, synth_dir):
+    """fallback=True runs the identical distributed pipeline + frame
+    contracts and returns the lite objects where the C runtimes are
+    absent; cross-checked against the networkx export of the same
+    network (same vertex/edge counts, same weighted eccentricity from
+    one seed node)."""
+    import networkx as nx
+    import pytest as _pt
+
+    from pyrosm_spark.operators.export import (to_igraph, to_networkx,
+                                               to_pandana)
+    from pyrosm_spark.operators.graph_lite import LiteGraph, LiteNetwork
+    from pyrosm_spark.operators.network import get_network
+    from pyrosm_spark.operators.osm_source import load_osm
+
+    try:
+        import igraph  # noqa: F401
+        _pt.skip("real igraph present; fallback path not live")
+    except ImportError:
+        pass
+    nodes, ways, _ = load_osm(spark, synth_dir)
+    gnodes, edges = get_network(nodes, ways, "driving", with_nodes=True)
+    g = to_igraph(gnodes, edges, fallback=True)
+    assert isinstance(g, LiteGraph)
+    nxg = to_networkx(gnodes, edges, osmnx_compatible=False)
+    assert g.vcount() == nxg.number_of_nodes()
+    assert g.ecount() == nxg.number_of_edges()
+    # weighted single-source distances agree with networkx on the
+    # networkx graph's own node labels (vs LiteGraph's seq ids)
+    seq_of = {nid: i for i, nid in enumerate(g.vs["id"])}
+    src_label = g.vs["id"][0]
+    expect = nx.single_source_dijkstra_path_length(
+        nxg, src_label, weight="length")
+    got = g.distances(seq_of[src_label], weights="length")[0]
+    hits = 0
+    for label, d in expect.items():
+        assert abs(got[seq_of[label]] - d) < 1e-6, label
+        hits += 1
+    assert hits == sum(1 for x in got if x != float("inf"))
+    net = to_pandana(gnodes, edges, fallback=True)
+    assert isinstance(net, LiteNetwork)
+    # pandana network routes on original node ids with the same lengths
+    reach = [t for t in expect if t != src_label][:5]
+    for t in reach:
+        assert abs(net.shortest_path_length(src_label, t, "length")
+                   - expect[t]) < 1e-6
