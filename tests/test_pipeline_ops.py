@@ -350,6 +350,34 @@ def test_composed_lsh_ops_keep_separate_pins(spark, docs):
     SJ.release_pinned_caches()
 
 
+def test_interleaved_same_op_released_pin_recomputes(spark, docs):
+    """Pin-lifecycle contract under two interleaved pipelines of the
+    SAME operator in one session: the second call releases the first
+    call's pinned banded frame (per-tag lifecycle, spatial_join._pin),
+    so a still-unevaluated plan returned by the first call loses its
+    cache — and must RECOMPUTE from deterministic lineage, not fail or
+    change results. Correct-but-uncached is the documented semantics;
+    callers needing both hot keep one call per pipeline or pre-pin."""
+    from pyrosm_spark.operators import spatial_join as SJ
+    SJ.release_pinned_caches()
+    first = D.minhash_lsh_pairs(docs)    # pins minhash_lsh_banded #1
+    first_pins = list(SJ._PINNED.get("minhash_lsh_banded") or [])
+    assert first_pins
+    second = D.minhash_lsh_pairs(docs)   # releases #1, pins #2
+    now = SJ._PINNED.get("minhash_lsh_banded") or []
+    assert now and all(f is not g for f in first_pins for g in now), \
+        "second call must have released the first call's pin"
+    # (no storageLevel assertion: both calls produce the IDENTICAL
+    # logical plan, so the CacheManager lookup behind .storageLevel
+    # resolves the released frame to the second call's live cache
+    # entry — the registry identity above is the observable lifecycle)
+    # the first plan still evaluates — recomputed, identical pair set
+    a = {(r["doc_a"], r["doc_b"]) for r in first.collect()}
+    b = {(r["doc_a"], r["doc_b"]) for r in second.collect()}
+    assert a == b and len(a) > 0
+    SJ.release_pinned_caches()
+
+
 def test_blocked_self_join_equals_plain(spark, docs, synth_dir):
     """Skew-blocked pair enumeration must produce the identical pair set."""
     import os
