@@ -910,6 +910,27 @@ def phash_pairs_grouped(images: DataFrame, max_hamming: int = 6,
     Scale shape: cold groups are bounded by ``group_fan`` x bucket
     cap; hot buckets split into (S+1)S/2 chunk-pair tasks bounded by
     ``hot_threshold``-ish chunk sizes, exactly like the join path.
+
+    Two physical-plan decisions are made from MEASURED stats on the
+    pinned banded table (the same move AQE makes from shuffle stats):
+
+    * the pin is hash-partitioned by the cold path's grouping key
+      ``(band, kg)``, which satisfies the grouped-eval's
+      ClusteredDistribution — the cold ``applyInPandas`` reads pinned
+      partitions with NO further exchange, replacing the previous
+      round-robin pin + full corpus x bands re-shuffle (one exchange
+      total instead of two). A pathologically hot band value makes
+      that one pin-write task large (the frame still spills to disk;
+      the hot EVAL still redistributes by chunk pair), which is the
+      usual layout-vs-balance trade and is bounded below by the
+      anti-join that keeps hot rows out of every cold group;
+    * the hot-bucket count is evaluated eagerly (one bounded action —
+      at most banded_rows / hot_threshold buckets can exceed the
+      threshold). When it is ZERO — the common case for a well-spread
+      hash at production thresholds — the anti-join and the entire
+      hot branch (semi-join, chunk explode, second shuffle) vanish
+      from the plan instead of scanning corpus x bands twice to
+      produce nothing.
     """
     id_type = images.schema[id_col].dataType.simpleString()
     out_schema = f"img_a {id_type}, img_b {id_type}, hamming int"
@@ -928,14 +949,26 @@ def phash_pairs_grouped(images: DataFrame, max_hamming: int = 6,
     ])
     banded = base.select("img", "ph", F.explode(bands).alias("bk")).select(
         "img", "ph", "bk.band", "bk.key")
+    banded = banded.withColumn("kg", F.pmod(
+        F.xxhash64("key"), F.lit(group_fan)).cast("int"))
     shuffle_n = int(banded.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
+    # pin partitioned by the cold grouping key (see docstring): the
+    # grouped eval's ClusteredDistribution(band, kg) is satisfied by
+    # hashpartitioning(band, kg, shuffle_n), so no second exchange
     banded = _pin_fresh("phash_grouped_banded",
-                        banded.repartition(shuffle_n))
+                        banded.repartition(shuffle_n, "band", "kg"))
 
     hot = (banded.groupBy("band", "key").count()
            .filter(F.col("count") > hot_threshold)
            .select("band", "key"))
+    # eager, bounded stats action deciding the skew strategy; pinned
+    # under the SAME tag (appended, not fresh — _pin_fresh here would
+    # release the banded pin) so both branches below read the computed
+    # bucket list instead of re-aggregating corpus x bands twice
+    from pyrosm_spark.operators.spatial_join import _pin
+    hot = _pin("phash_grouped_banded", hot)
+    n_hot = hot.count()
 
     def eval_cold(pdf: pd.DataFrame) -> pd.DataFrame:
         band = int(pdf["band"].iat[0])
@@ -949,11 +982,12 @@ def phash_pairs_grouped(images: DataFrame, max_hamming: int = 6,
         return out if out is not None else pd.DataFrame(
             {"img_a": [], "img_b": [], "hamming": []})
 
-    cold = (banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
-            .withColumn("kg", F.pmod(F.xxhash64("key"),
-                                     F.lit(group_fan)).cast("int"))
-            .groupBy("band", "kg")
+    cold_rows = banded if n_hot == 0 else banded.join(
+        F.broadcast(hot), ["band", "key"], "left_anti")
+    cold = (cold_rows.groupBy("band", "kg")
             .applyInPandas(eval_cold, out_schema))
+    if n_hot == 0:
+        return cold
 
     def eval_hot(pdf: pd.DataFrame) -> pd.DataFrame:
         band = int(pdf["band"].iat[0])
