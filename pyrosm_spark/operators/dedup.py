@@ -421,14 +421,30 @@ def _first_chunk_cond(hash_col: str, n_bands: int = 4, bits: int = 16):
     return cond
 
 
-def _first_key_cond(keys_col: str):
+def _first_key_cond(n_bands: int, key_fmt: str = "k{}"):
     """first_band_cond for keyed banding (e.g. MinHash band digests):
-    both rows carry the full per-band key array, so the first matching
-    band is the first position where the arrays agree."""
+    both rows carry every per-band key as its own scalar column
+    (``k0..k{n-1}``), so "this band is the pair's first match" lowers
+    to a flat AND/OR chain of scalar comparisons — whole-stage-codegen
+    native. The earlier array<string> + ``zip_with``/``array_position``
+    formulation forced interpreted higher-order-function eval per
+    candidate pair and shuffled an array of 4 md5 strings per banded
+    row where 4 longs suffice. Strictly-interleaved A/B at bench scale
+    (80k docs x 16 replication, local[32]) reads wall-NEUTRAL — the
+    ~5 s wall there is pin-build + fixed join/stage cost, not
+    predicate eval — so this is a shuffle-width (~60% narrower banded
+    rows) and codegen-purity win that pays at corpus scale, not a
+    bench-visible one."""
     def cond(a, b):
-        eq = F.zip_with(F.col(f"{a}.{keys_col}"), F.col(f"{b}.{keys_col}"),
-                        lambda x, y: x == y)
-        return F.col(f"{a}.band") == F.array_position(eq, F.lit(True)) - 1
+        c = F.col(f"{a}.band") == 0
+        for i in range(1, n_bands):
+            prior_ne = None
+            for j in range(i):
+                ka, kb = key_fmt.format(j), key_fmt.format(j)
+                ne = F.col(f"{a}.{ka}") != F.col(f"{b}.{kb}")
+                prior_ne = ne if prior_ne is None else (prior_ne & ne)
+            c = c | ((F.col(f"{a}.band") == i) & prior_ne)
+        return c
 
     return cond
 
@@ -484,21 +500,33 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     """LSH candidate pairs: signatures banded (LSH_BANDS x LSH_ROWS);
     docs sharing any band-hash become a candidate pair. The band join is
     an equi-join on (band, band_key); ``n_blocks`` > 1 engages the
-    skew-blocked self-join for dense buckets (identical pair set)."""
+    skew-blocked self-join for dense buckets (identical pair set).
+
+    Band keys are ``xxhash64`` longs over the band's signature values
+    (one long join key + 4 long ride-along columns per banded row),
+    not the oracle's md5 strings: key equality is h-tuple equality
+    under either hash (collisions aside, the same ~2^-64 event class
+    the banding scheme already accepts), the oracle's DISTINCT defines
+    the pair set independent of WHICH band emitted it, and the native
+    first-band predicate (:func:`_first_key_cond`) needs scalar
+    comparisons, not string-array walks. Identical 665,280 pairs at
+    bench scale; wall-neutral there (see :func:`_first_key_cond`) but
+    strictly narrower shuffle rows for the corpus-size self-join."""
     sig = minhash_signatures(docs, text_col, id_col)
-    keys = []
+    kcols = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        keys.append(F.md5(F.concat_ws(",", *cols)))
-    bands = [F.struct(F.lit(b).alias("band"), k.alias("key"))
-             for b, k in enumerate(keys)]
-    banded = sig.select(
-        "doc", F.array(*keys).alias("allkeys"),
-        F.explode(F.array(*bands)).alias("bk")
-    ).select("doc", "allkeys", F.col("bk.band").alias("band"),
+        kcols.append(F.xxhash64(*cols).alias(f"k{b}"))
+    bands = [F.struct(F.lit(b).alias("band"),
+                      F.col(f"k{b}").alias("key"))
+             for b in range(LSH_BANDS)]
+    kn = [f"k{b}" for b in range(LSH_BANDS)]
+    banded = sig.select("doc", *kcols).select(
+        "doc", *kn, F.explode(F.array(*bands)).alias("bk")
+    ).select("doc", *kn, F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
     pairs = banded_self_pairs(banded, ["band", "key"], "doc", n_blocks,
-                              first_band_cond=_first_key_cond("allkeys"),
+                              first_band_cond=_first_key_cond(LSH_BANDS),
                               op="minhash_lsh")
     return pairs.select(F.col("id_a").alias("doc_a"),
                         F.col("id_b").alias("doc_b"))
