@@ -347,8 +347,26 @@ def banded_self_pairs(
     # (id, band)).
     shuffle_n = int(banded.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
-    banded = _pin_fresh(f"{op}_banded", banded.repartition(shuffle_n))
     if n_blocks <= 1 and hot_threshold is None:
+        # Unblocked path (caller expects no dense buckets): pin
+        # partitioned BY THE BUCKET KEY. Both self-join sides then read
+        # a layout that already satisfies the join's
+        # ClusteredDistribution on the equi keys, so the join runs with
+        # ZERO exchanges — the one pin-write shuffle replaces three
+        # (round-robin pin + two join-side exchanges of corpus x
+        # bands). Same stats-as-layout move as phash_pairs_grouped; a
+        # genuinely dense bucket belongs on the blocked path below,
+        # whose per-chunk exchanges are the skew spreaders.
+        #
+        # The eager count is load-bearing, not a stray action: with a
+        # cached-but-unmaterialized adaptive plan, InMemoryTableScan's
+        # output partitioning reads unknown at planning time and
+        # EnsureRequirements re-adds both exchanges (measured; fresh
+        # plans after materialization carry none). The cache write is
+        # work the join's first run would do anyway.
+        banded = _pin_fresh(f"{op}_banded",
+                            banded.repartition(shuffle_n, *band_cols))
+        banded.count()
         a = banded.hint("shuffle_hash").alias("a")
         b = banded.hint("shuffle_hash").alias("b")
         cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -359,22 +377,51 @@ def banded_self_pairs(
             return a.join(b, cond).select(*sel_a, *sel_b)
         return a.join(b, cond).select(*sel_a, *sel_b).distinct()
 
+    # Blocked path. The join equi-keys are (bucket, chunk): the
+    # exchanges on them are what spread a dense bucket's pair-space
+    # across tasks, so they cannot simply be elided — but when the
+    # block count is CONSTANT (no hot_threshold), the probe side's
+    # chunk is computable before the pin, and pinning partitioned by
+    # (bucket, chunk) + eager materialization (see the unblocked path
+    # for why eager) hands the probe side its layout for free: one of
+    # the two corpus x bands join exchanges disappears; the exploded
+    # build side still shuffles, as it must (it is the replicated
+    # spreader). With a hot_threshold the per-row block count comes
+    # from a stats join on the pinned frame, so no layout can be
+    # promised — there the pin only needs WIDTH; re-spread it just
+    # when the banding lineage arrives narrow (same rule as
+    # _ensure_parallelism; a blind repartition measured as one full
+    # corpus x bands shuffle per call moving already-balanced rows).
+    #
     # with n_blocks <= 1 but a hot_threshold set, hot buckets still
     # need a real block count for the chunking to do anything — use 8
     # (the grouped path's default); cold buckets stay unreplicated
     eff_blocks = n_blocks if n_blocks > 1 else 8
-    if hot_threshold is not None:
+    if hot_threshold is None:
+        banded = banded.withColumn("_c", F.pmod(
+            F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int"))
+        banded = _pin_fresh(
+            f"{op}_banded",
+            banded.repartition(shuffle_n, *band_cols, "_c"))
+        banded.count()
+        left = (banded.withColumn("_ca", F.col("_c"))
+                .withColumn("_cb", F.explode(F.sequence(
+                    F.col("_c"), F.lit(n_blocks - 1))))
+                .drop("_c"))
+        right = banded.withColumn("_cb", F.col("_c")).drop("_c")
+    else:
+        if banded.rdd.getNumPartitions() < shuffle_n:
+            banded = banded.repartition(shuffle_n)
+        banded = _pin_fresh(f"{op}_banded", banded)
         hot = (banded.groupBy(*band_cols).count()
                .filter(F.col("count") > hot_threshold)
                .select(*band_cols, F.lit(eff_blocks).alias("_nb")))
         banded = banded.join(F.broadcast(hot), band_cols, "left").withColumn(
             "_nb", F.coalesce(F.col("_nb"), F.lit(1)))
-    else:
-        banded = banded.withColumn("_nb", F.lit(n_blocks))
-    chunk = F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int")
-    left = banded.withColumn("_ca", chunk).withColumn(
-        "_cb", F.explode(F.sequence(F.col("_ca"), F.col("_nb") - 1)))
-    right = banded.withColumn("_cb", chunk)
+        chunk = F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int")
+        left = banded.withColumn("_ca", chunk).withColumn(
+            "_cb", F.explode(F.sequence(F.col("_ca"), F.col("_nb") - 1)))
+        right = banded.withColumn("_cb", chunk)
     left = left.hint("shuffle_hash")
     right = right.hint("shuffle_hash")
     a, b = left.alias("a"), right.alias("b")
