@@ -198,9 +198,26 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     # the tokenize+zip+explode+dropDuplicates subtree feeds SIX plan
     # arms (size agg, hot-df agg, both self-join sides, the two
     # full-set recount joins) — materialize it once per action, the
-    # same hazard banded_self_pairs pins against
+    # same hazard banded_self_pairs pins against. Pinned PARTITIONED BY
+    # SHINGLE and materialized eagerly (see banded_self_pairs for why
+    # eager): the df aggregation, the broadcast-anti-joined cold frame,
+    # and BOTH inverted-index self-join sides then read the cached
+    # layout exchange-free — one layout shuffle replaces three
+    # shingle-table exchanges (verified in the executed plan; the
+    # survivors are the candidate distinct and the doc-keyed aggs,
+    # which need different keys). Per-key skew under the shingle
+    # layout is bounded by the same df cap that bounds the join
+    # fan-out. Wall-NEUTRAL at sandbox scales (sf0.01/sf0.1 A/B within
+    # the host's noise band): the recount arms shuffle the same table
+    # by other keys either way — the win is the 3->1 full-table
+    # exchange count before candidate generation, which is what
+    # matters when the shingle table is corpus-sized.
+    nshuf = int(docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
     sh = _pin_fresh("ngram_shingles",
-                    _shingle_rows(docs, text_col, id_col, n))
+                    _shingle_rows(docs, text_col, id_col, n)
+                    .repartition(nshuf, "shingle"))
+    sh.count()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     if max_df is not None:
         hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
