@@ -852,7 +852,24 @@ def lsh_cosine_pairs(
     AQE), exact cosine runs only on candidates. Recall is governed by
     the standard (1 - (1 - s^p)^t) LSH curve; at threshold 0.9+ the
     default 6x8 configuration is effectively exhaustive. Deterministic
-    (seeded hyperplanes), so it value-checks against its SQL mirror."""
+    (seeded hyperplanes), so it value-checks against its SQL mirror.
+
+    Plan shape (candidate-then-gather): the Arrow bucket UDF runs ONCE
+    into a pinned (vid, bucket) frame partitioned by bucket — the
+    bucket self-join reads the cached layout exchange-free (eager
+    materialization; see dedup.banded_self_pairs) and shuffles only
+    id+bucket rows, never vectors. Candidate pairs dedupe narrow, and
+    the two vector gathers join by id afterwards. The previous
+    formulation ran the UDF once PER JOIN SIDE and carried both full
+    vectors through the bucket join and the pair-dedup shuffle —
+    corpus x tables x vec_bytes of shuffle where ids suffice. At
+    sandbox scale (1k vectors, sf0.01) the added jobs cost ~1 s of
+    per-query constant (warm 1.0 -> 2.3 s measured); the trade is the
+    shuffle-byte cut (~vec_bytes/bucket_row_bytes, ~16x for 64-dim
+    doubles) on the corpus-x-tables frame, which dominates at real
+    corpus sizes."""
+    from pyrosm_spark.operators.dedup import _pin_fresh
+
     bucket = make_bucket_udf(dim, n_planes, n_tables)
     b = emb.select(
         F.col(id_col).alias("vid"),
@@ -863,18 +880,23 @@ def lsh_cosine_pairs(
     # double, so it would pass any >= threshold filter and pair with
     # its whole bucket
     b = b.filter(_dot(F.col("vec"), F.col("vec")) > 0)
-    b = b.withColumn("bucket", F.explode(bucket(F.col("vec"))))
-    a, c = b.alias("a"), b.alias("b")
+    nshuf = int(emb.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    bk = (b.withColumn("bucket", F.explode(bucket(F.col("vec"))))
+          .select("vid", "bucket"))
+    bk = _pin_fresh("emb_lsh_buckets", bk.repartition(nshuf, "bucket"))
+    bk.count()
+    a, c = bk.alias("a"), bk.alias("b")
     cand = (
         a.join(c, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vid") < F.col("b.vid")))
         .select(F.col("a.vid").alias("vid_a"),
-                F.col("b.vid").alias("vid_b"),
-                F.col("a.vec").alias("vec_a"),
-                F.col("b.vec").alias("vec_b"))
+                F.col("b.vid").alias("vid_b"))
         .dropDuplicates(["vid_a", "vid_b"])
     )
-    scored = cand.withColumn(
+    va = b.select(F.col("vid").alias("vid_a"), F.col("vec").alias("vec_a"))
+    vb = b.select(F.col("vid").alias("vid_b"), F.col("vec").alias("vec_b"))
+    scored = cand.join(va, "vid_a").join(vb, "vid_b").withColumn(
         "cosine",
         F.round(
             _dot(F.col("vec_a"), F.col("vec_b"))
