@@ -151,6 +151,41 @@ def main():
     check("phash_pairs(grouped): bucket eval via grouped Arrow, "
           "no join of candidates",
           "FlatMapGroupsInPandas" in p and "NestedLoop" not in p)
+
+    # 9. pinned-layout exchange elision (r5): eagerly materialized
+    # pins partitioned on the downstream keys must be RECOGNIZED —
+    # EnsureRequirements re-adding an exchange on those keys means the
+    # layout regressed to decoration. Count ENSURE_REQUIREMENTS
+    # exchanges (REPARTITION_BY_* lines are the deliberate layout
+    # writes, not violations).
+    def ensure_exchanges(plan: str, key_substr: str | None = None):
+        return [ln for ln in plan.splitlines()
+                if "Exchange" in ln and "ENSURE_REQUIREMENTS" in ln
+                and (key_substr is None or key_substr in ln)]
+
+    from pyrosm_spark.operators.dedup import (minhash_lsh_pairs,
+                                              simhash_pairs)
+    from pyrosm_spark.operators.similarity import lsh_cosine_pairs
+
+    p = plan_of(simhash_pairs(docs, max_hamming=8))
+    check("simhash (unblocked banded join): zero ENSURE exchanges",
+          len(ensure_exchanges(p)) == 0,
+          f"(found {len(ensure_exchanges(p))})")
+    p = plan_of(minhash_lsh_pairs(docs, n_blocks=4))
+    check("minhash (const-blocked banded join): probe side rides the "
+          "pinned layout (exactly one ENSURE exchange, the replicated "
+          "build side)",
+          len(ensure_exchanges(p)) == 1,
+          f"(found {len(ensure_exchanges(p))})")
+    p = plan_of(ngram_jaccard_pairs(docs, threshold=0.2))
+    check("ngram inverted index: no ENSURE exchange on the shingle key",
+          len(ensure_exchanges(p, "shingle")) == 0)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    p = plan_of(lsh_cosine_pairs(emb, threshold=0.35))
+    check("embedding LSH: bucket self-join exchange-free and "
+          "vector-free (vectors gathered by id afterwards)",
+          len(ensure_exchanges(p, "bucket")) == 0)
+
     print(f"\n{'ALL OK' if not FAILS else f'{len(FAILS)} FAILURES: {FAILS}'}")
     sys.exit(1 if FAILS else 0)
 
