@@ -903,3 +903,27 @@ def test_scc_auto_dispatch_string_ids(spark):
     assert tarjan == dist
     assert tarjan["a"] == tarjan["b"] == tarjan["c"] == "a"
     assert tarjan["d"] == "d" and tarjan["e"] == "e"
+
+
+def test_lsh_joins_ride_pinned_layout_no_ensure_exchanges(spark, docs):
+    """The r5 exchange-elision contract (mirrors plan_audit §9): the
+    eagerly materialized pins partitioned on the downstream join keys
+    must be RECOGNIZED by planning. The unblocked banded self-join
+    (simhash) plans with zero EnsureRequirements exchanges; the
+    constant-blocked one (minhash) with exactly one — the replicated
+    build side, which must shuffle to spread a bucket's pair-space.
+    A regression (lazy pin, layout-free pin, or a Spark upgrade that
+    stops propagating cached partitioning) re-adds corpus x bands
+    shuffles silently — this locks the plan shape in the main gate."""
+    from pyrosm_spark.operators import spatial_join as SJ
+
+    def ensure_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [ln for ln in plan.splitlines()
+                if "Exchange" in ln and "ENSURE_REQUIREMENTS" in ln]
+
+    SJ.release_pinned_caches()
+    assert ensure_exchanges(D.simhash_pairs(docs, max_hamming=8)) == []
+    SJ.release_pinned_caches()
+    assert len(ensure_exchanges(D.minhash_lsh_pairs(docs, n_blocks=4))) == 1
+    SJ.release_pinned_caches()
