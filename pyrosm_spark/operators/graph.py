@@ -448,17 +448,38 @@ def connected_components(edges: DataFrame, u_col: str = "u",
     the engine — the planetary-scale guard. All data-side work is
     plain joins/groupBys.
     """
-    und = (
+    from pyrosm_spark.operators.dedup import _pin_fresh
+
+    nshuf = int(edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    # The undirected edge table is the LOOP INVARIANT: every
+    # contraction round joins it on "b", and the contract step joins
+    # it again. Pin it hash-partitioned BY "b" and materialize eagerly
+    # (the count below doubles as the materializing action), so each
+    # round's neighbor-min join plans with an exchange only on the
+    # (smaller) labels side — localCheckpoint, used here previously,
+    # does NOT surface the layout to the planner (LogicalRDD reports
+    # unknown partitioning; measured), so every round re-shuffled
+    # corpus-sized und. persist() is also the reliable choice: a lost
+    # executor recomputes the deterministic lineage where a lost
+    # localCheckpoint partition fails the job. The per-round LABELS
+    # frames keep localCheckpoint — they need lineage TRUNCATION
+    # (the iterated plan would grow per round), which persist does not
+    # provide. Recursion safety: _pin_fresh releases the OUTER call's
+    # und pin, but the recursive branch only runs when
+    # contraction_rounds > 0, where every outer frame still needed
+    # (labels, sup) is already checkpointed.
+    und = _pin_fresh(
+        "cc_und",
         edges.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
         .unionAll(edges.select(F.col(v_col).alias("a"),
                                F.col(u_col).alias("b")))
         .distinct()
-        .localCheckpoint()
+        .repartition(nshuf, "b")
     )
     # adaptive: when the whole edge set already fits the driver cap,
     # contraction rounds only add ~2 shuffle jobs each for nothing —
-    # the union-find finish is bounded either way. The count is
-    # metadata-cheap on the checkpointed frame.
+    # the union-find finish is bounded either way.
     if und.count() <= max_driver_edges:
         contraction_rounds = 0
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
